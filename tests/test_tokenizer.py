@@ -1,0 +1,107 @@
+"""Tests for the conv blocks and the VQ-VAE tokenizer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from world_modelz_tpu.models import VQAutoEncoder
+from world_modelz_tpu.models.conv import upsample_2x
+
+
+def test_upsample_2x_shape_and_values():
+    x = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    y = upsample_2x(x)
+    assert y.shape == (1, 4, 4, 1)
+    # corners of a half-pixel-centers bilinear resize keep the corner values
+    np.testing.assert_allclose(float(y[0, 0, 0, 0]), 0.0)
+    np.testing.assert_allclose(float(y[0, 3, 3, 0]), 3.0)
+
+
+def _make_tokenizer():
+    return VQAutoEncoder(
+        embedding_dim=8,
+        num_embeddings=32,
+        downscale_steps=2,
+        hidden_planes=16,
+        in_channels=3,
+    )
+
+
+def test_tokenizer_shapes():
+    tok = _make_tokenizer()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (2, 16, 16, 3))
+    state = tok.init(key, x)
+
+    recon, out, _ = tok.forward(state, x, train=False)
+    assert recon.shape == x.shape
+    assert out.commitment_loss.shape == ()
+
+    tokens = tok.encode(state, x)
+    assert tokens.shape == (2, 4, 4)
+    assert tokens.dtype == jnp.int32
+    assert int(tokens.max()) < 32
+
+    decoded = tok.decode(state, tokens)
+    assert decoded.shape == x.shape
+
+
+def test_tokenizer_train_updates_codebook_and_bn():
+    tok = _make_tokenizer()
+    key = jax.random.PRNGKey(1)
+    x = jax.random.uniform(key, (2, 16, 16, 3))
+    state = tok.init(key, x)
+
+    _, _, new_state = tok.forward(state, x, train=True)
+    # VQ codebook moved
+    assert not np.allclose(
+        np.asarray(new_state.vq.codebook), np.asarray(state.vq.codebook)
+    )
+    # batch stats moved
+    leaves_old = jax.tree_util.tree_leaves(state.batch_stats)
+    leaves_new = jax.tree_util.tree_leaves(new_state.batch_stats)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(leaves_old, leaves_new)
+    )
+
+
+def test_tokenizer_eval_is_pure():
+    tok = _make_tokenizer()
+    key = jax.random.PRNGKey(2)
+    x = jax.random.uniform(key, (2, 16, 16, 3))
+    state = tok.init(key, x)
+    _, _, new_state = tok.forward(state, x, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(new_state.vq.codebook), np.asarray(state.vq.codebook)
+    )
+
+
+def test_encode_decode_roundtrip_identity_on_tokens():
+    """decode(encode(x)) re-encodes to the same tokens (codebook fixpoint not
+    required, but decode->encode of codebook vectors is stable for a frozen
+    random model most of the time; we check shape/dtype contract instead)."""
+    tok = _make_tokenizer()
+    key = jax.random.PRNGKey(3)
+    x = jax.random.uniform(key, (1, 32, 32, 3))
+    state = tok.init(key, x)
+    tokens = tok.encode(state, x)
+    assert tokens.shape == (1, 8, 8)
+    img = tok.decode(state, tokens)
+    assert img.shape == (1, 32, 32, 3)
+
+
+def test_tokenizer_jit_forward():
+    tok = _make_tokenizer()
+    key = jax.random.PRNGKey(4)
+    x = jax.random.uniform(key, (2, 16, 16, 3))
+    state = tok.init(key, x)
+
+    @jax.jit
+    def step(state, x):
+        recon, out, new_state = tok.forward(state, x, train=True)
+        loss = jnp.mean(jnp.abs(recon - x)) + 0.005 * out.commitment_loss
+        return loss, new_state
+
+    loss, _ = step(state, x)
+    assert np.isfinite(float(loss))

@@ -1,0 +1,186 @@
+"""VQ-VAE frame tokenizer: conv encoder -> EMA VQ -> conv decoder.
+
+Capability parity with `VqAutoEncoder` (minecraft/train_vqae.py:22-55):
+`forward` returns (reconstruction, commitment loss, perplexity); `encode`
+maps images to integer token grids; `decode` maps token grids back to images.
+
+TPU-first design: the quantizer state is an explicit :class:`VQState` pytree
+inside :class:`TokenizerState` (not a mutable buffer), so a training step is a
+pure function `(state, batch) -> (loss, new_state)` that jits and shards
+without special-casing; the hot encode path can be swapped for the fused
+Pallas kernel in `world_modelz_tpu.kernels.vq_kernels`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+from flax.core import FrozenDict
+
+from world_modelz_tpu.models.conv import (
+    SimpleResidualDecoder,
+    SimpleResidualEncoder,
+)
+from world_modelz_tpu.ops.vq import (
+    VQOutput,
+    VQState,
+    vq_apply,
+    vq_decode,
+    vq_encode,
+    vq_init,
+)
+
+
+@struct.dataclass
+class TokenizerState:
+    """Model variables of a VQAutoEncoder: flax params/batch stats + VQ state."""
+
+    params: Any
+    batch_stats: Any
+    vq: VQState
+
+
+class _AEModule(nn.Module):
+    """Conv encoder/decoder pair (the non-VQ part of the tokenizer)."""
+
+    embedding_dim: int
+    downscale_steps: int
+    hidden_planes: int
+    in_channels: int
+
+    def setup(self):
+        self.encoder = SimpleResidualEncoder(
+            out_planes=self.embedding_dim,
+            num_layers=self.downscale_steps,
+            hidden_planes=self.hidden_planes,
+        )
+        decoder_cfg = tuple(
+            self.hidden_planes for _ in range(self.downscale_steps)
+        )
+        self.decoder = SimpleResidualDecoder(
+            cfg=decoder_cfg, out_channels=self.in_channels
+        )
+
+    def encode(self, x, *, train: bool):
+        return self.encoder(x, train=train)
+
+    def decode(self, h, *, train: bool):
+        return self.decoder(h, train=train)
+
+    def __call__(self, x, *, train: bool):
+        return self.decode(self.encode(x, train=train), train=train)
+
+
+@dataclasses.dataclass(frozen=True)
+class VQAutoEncoder:
+    """Functional VQ-VAE tokenizer (config object; state passed explicitly).
+
+    Images are NHWC float32 in [0, 1]; token grids are (B, H/2^L, W/2^L)
+    int32 with values in [0, num_embeddings).
+    """
+
+    embedding_dim: int
+    num_embeddings: int
+    downscale_steps: int = 2
+    hidden_planes: int = 128
+    in_channels: int = 3
+    vq_decay: float = 0.99
+    vq_eps: float = 1e-5
+
+    @property
+    def module(self) -> _AEModule:
+        return _AEModule(
+            embedding_dim=self.embedding_dim,
+            downscale_steps=self.downscale_steps,
+            hidden_planes=self.hidden_planes,
+            in_channels=self.in_channels,
+        )
+
+    def token_grid_shape(self, image_hw: Tuple[int, int]) -> Tuple[int, int]:
+        f = 2**self.downscale_steps
+        return (image_hw[0] // f, image_hw[1] // f)
+
+    def init(self, key: jax.Array, sample: jnp.ndarray) -> TokenizerState:
+        k_ae, k_vq = jax.random.split(key)
+        variables = self.module.init(k_ae, sample, train=False)
+        vq = vq_init(
+            k_vq,
+            num_latents=1,
+            num_embeddings=self.num_embeddings,
+            embedding_dim=self.embedding_dim,
+        )
+        return TokenizerState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", FrozenDict()),
+            vq=vq,
+        )
+
+    def forward(
+        self, state: TokenizerState, x: jnp.ndarray, *, train: bool
+    ) -> Tuple[jnp.ndarray, VQOutput, TokenizerState]:
+        """Full autoencoding pass (train_vqae.py:33-43).
+
+        Returns (reconstruction, VQOutput, new_state); `new_state` carries
+        updated BatchNorm statistics and (when `train`) the EMA-updated
+        codebook.
+        """
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        if train:
+            h, mutated = self.module.apply(
+                variables,
+                x,
+                train=True,
+                method="encode",
+                mutable=["batch_stats"],
+            )
+            batch_stats = mutated["batch_stats"]
+        else:
+            h = self.module.apply(variables, x, train=False, method="encode")
+            batch_stats = state.batch_stats
+
+        out, vq_state = vq_apply(
+            state.vq,
+            h,
+            train=train,
+            decay=self.vq_decay,
+            eps=self.vq_eps,
+        )
+
+        variables = {"params": state.params, "batch_stats": batch_stats}
+        if train:
+            recon, mutated = self.module.apply(
+                variables,
+                out.quantized,
+                train=True,
+                method="decode",
+                mutable=["batch_stats"],
+            )
+            batch_stats = mutated["batch_stats"]
+        else:
+            recon = self.module.apply(
+                variables, out.quantized, train=False, method="decode"
+            )
+
+        new_state = TokenizerState(
+            params=state.params, batch_stats=batch_stats, vq=vq_state
+        )
+        return recon, out, new_state
+
+    def encode(self, state: TokenizerState, x: jnp.ndarray) -> jnp.ndarray:
+        """Images -> int32 token grid (train_vqae.py:45-49). Eval-mode BN."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        h = self.module.apply(variables, x, train=False, method="encode")
+        return vq_encode(state.vq, h)
+
+    def decode(self, state: TokenizerState, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Token grid -> images (train_vqae.py:51-55). Eval-mode BN."""
+        vectors = vq_decode(state.vq, tokens[..., None]).squeeze(-2)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return self.module.apply(
+            variables, vectors, train=False, method="decode"
+        )
