@@ -1,0 +1,128 @@
+"""Tests for the host-side data pipelines."""
+
+import numpy as np
+import pytest
+
+from world_modelz_tpu.data import (
+    BufferedTrajectorySampler,
+    MovingMNIST,
+    PrefetchIterator,
+    SyntheticTrajectorySource,
+)
+from world_modelz_tpu.data.images import FileListImageDataset, load_file_list
+
+
+def test_moving_mnist_shapes_and_range():
+    ds = MovingMNIST(seq_len=6, image_size=64, digit_size=24, num_digits=2)
+    clip = ds[0]
+    assert clip.shape == (6, 64, 64, 1)
+    assert clip.dtype == np.float32
+    assert clip.min() >= 0.0 and clip.max() <= 1.0
+    assert clip.max() > 0.5  # digits actually rendered
+
+
+def test_moving_mnist_deterministic_per_index():
+    ds = MovingMNIST(seq_len=4, image_size=32, digit_size=12)
+    np.testing.assert_array_equal(ds[7], ds[7])
+    assert not np.array_equal(ds[7], ds[8])
+
+
+def test_moving_mnist_motion():
+    ds = MovingMNIST(seq_len=8, image_size=64, digit_size=24)
+    clip = ds[3]
+    # frames differ over time (digits move)
+    diffs = [np.abs(clip[t + 1] - clip[t]).sum() for t in range(7)]
+    assert all(d > 0 for d in diffs)
+
+
+def test_moving_mnist_batch():
+    ds = MovingMNIST(seq_len=3, image_size=32, digit_size=12)
+    batch = ds.sample_batch(np.random.default_rng(0), 4)
+    assert batch.shape == (4, 3, 32, 32, 1)
+
+
+def test_synthetic_source_deterministic():
+    src = SyntheticTrajectorySource(num_trajectories=2, traj_frames=10)
+    f1 = list(src.load_frames("synthetic-0001"))
+    f2 = list(src.load_frames("synthetic-0001"))
+    assert len(f1) == 10
+    assert f1[0].shape == (64, 64, 3) and f1[0].dtype == np.uint8
+    np.testing.assert_array_equal(f1[5], f2[5])
+
+
+def test_buffered_sampler_batches():
+    src = SyntheticTrajectorySource(num_trajectories=3, traj_frames=120)
+    sampler = BufferedTrajectorySampler(
+        src, buffer_size=150, max_segment_length=60, traj_len=8, skip_frames=1
+    )
+    try:
+        batch = sampler.sample_batch(4)
+        assert batch.shape == (4, 8, 64, 64, 3)
+        assert batch.dtype == np.uint8
+        # consecutive frames within a clip differ (video, not stills)
+        assert np.abs(
+            batch[0, 1].astype(int) - batch[0, 0].astype(int)
+        ).sum() > 0
+        # buffer turnover: draw enough batches to cross a refill
+        for _ in range(10):
+            b = sampler.sample_batch(4)
+            assert b.shape == (4, 8, 64, 64, 3)
+    finally:
+        sampler.close()
+
+
+def test_prefetch_iterator_orders_and_propagates_errors():
+    counter = {"n": 0}
+
+    def make_batch():
+        counter["n"] += 1
+        if counter["n"] > 5:
+            raise RuntimeError("source exhausted")
+        return np.full((2, 2), counter["n"])
+
+    it = PrefetchIterator(make_batch, depth=2, device_put=False)
+    got = [int(next(it)[0, 0]) for _ in range(5)]
+    assert got == [1, 2, 3, 4, 5]
+    with pytest.raises(RuntimeError, match="source exhausted"):
+        next(it)
+    it.close()
+
+
+def test_prefetch_device_put():
+    import jax
+
+    it = PrefetchIterator(lambda: np.ones((4, 4), np.float32), depth=1)
+    batch = next(it)
+    assert isinstance(batch, jax.Array)
+    it.close()
+
+
+def test_file_list_dataset(tmp_path):
+    from PIL import Image
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    for i in range(5):
+        Image.fromarray(
+            (np.random.default_rng(i).uniform(0, 255, (16, 16, 3))).astype(
+                np.uint8
+            )
+        ).save(d / f"f{i}.png")
+    # one corrupt file that must be skipped
+    (d / "bad.png").write_bytes(b"not a png")
+
+    files = load_file_list(
+        str(tmp_path / "manifest.json"), str(d / "**" / "*"), r".*\.png$"
+    )
+    assert len(files) == 6
+
+    ds = FileListImageDataset(files, batch_size=4, seed=0)
+    batch = ds.next_batch()
+    assert batch.shape == (4, 16, 16, 3)
+    assert batch.dtype == np.float32
+
+    # manifest cache hit
+    files2 = load_file_list(
+        str(tmp_path / "manifest.json"), "unused", r".*\.png$"
+    )
+    assert files2 == files

@@ -1,0 +1,86 @@
+"""Host->device prefetching.
+
+The reference keeps the accelerator waiting on Python data work every step
+(SURVEY.md §3.2). `PrefetchIterator` decouples them: a background thread
+assembles host batches into a bounded queue and (optionally) ships them to
+device ahead of time, so `next()` usually returns a ready on-device batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+
+
+class PrefetchIterator:
+    """Wrap a host batch iterator with background prefetch + device put.
+
+    Args:
+      make_batch: callable returning the next host batch (numpy pytree).
+      depth: number of batches to keep in flight.
+      device_put: if True, batches are `jax.device_put` from the worker
+        thread so the transfer overlaps device compute.
+      sharding: optional `jax.sharding.Sharding` for the device placement
+        (e.g. batch-sharded over a data mesh axis).
+    """
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        make_batch: Callable[[], Any],
+        depth: int = 2,
+        device_put: bool = True,
+        sharding: Optional[Any] = None,
+    ):
+        self._make_batch = make_batch
+        self._device_put = device_put
+        self._sharding = sharding
+        self._queue: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while not self._stop.is_set():
+            try:
+                batch = self._make_batch()
+                if self._device_put:
+                    if self._sharding is not None:
+                        batch = jax.device_put(batch, self._sharding)
+                    else:
+                        batch = jax.device_put(batch)
+            except BaseException as e:  # propagate to consumer
+                self._error = e
+                self._put(self._SENTINEL)
+                return
+            self._put(batch)
+
+    def _put(self, item):
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.5)
+                return
+            except queue.Full:
+                continue
+
+    def __iter__(self) -> Iterator[Any]:
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._SENTINEL:
+            raise self._error if self._error else StopIteration
+        return item
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._queue.get_nowait()
+        except queue.Empty:
+            pass

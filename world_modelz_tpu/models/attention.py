@@ -1,0 +1,362 @@
+"""Transformer backbones: dense ViT-style and NÜWA-style local 3D attention.
+
+Capability parity with the reference sequence models:
+
+- Dense pre-norm transformer (minecraft/transformer.py:34-80): fused QKV,
+  per-head scaled dot-product, GELU MLP.
+- `Local3dAttention` / `Local3dAttentionTransformer`
+  (vq-video-diffusion/local_3d_attention.py:34-163): every (s, h, w) token of
+  a video token grid attends to a (2e_s+1)(2e_h+1)(2e_w+1) space-time
+  neighborhood, with border masking and factorized learned s/h/w position
+  embeddings.
+
+TPU-first redesign of the local attention: the reference materializes the
+full unfolded key/value tensors — a (2e+1)^3-fold memory blowup
+(local_3d_attention.py:57-69, 82-83) that needs gradient checkpointing to
+survive. Here the neighborhood is expressed as *temporal shift stacking +
+dense per-frame attention under a spatial window mask*:
+
+  - keys/values are stacked for the 2e_s+1 frame offsets (a cheap roll, only
+    (2e_s+1)x memory, no spatial duplication);
+  - each query frame attends densely to those stacked frames — one big
+    MXU-friendly batched matmul — while a precomputed boolean mask removes
+    pairs outside the (2e_h+1)x(2e_w+1) spatial window and beyond the
+    sequence borders.
+
+This keeps all FLOPs in large matmuls (MXU), reduces peak memory ~(2e_h+1)
+(2e_w+1)/1 relative to unfold, and needs no data-dependent shapes. The
+fused Pallas kernel in `world_modelz_tpu.kernels.local3d` computes the same
+math without materializing the score tensor in HBM; this module is its
+golden reference. `jax.checkpoint` wraps the attention inner block exactly
+where the reference checkpoints (local_3d_attention.py:110-113).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+NEG_INF = -1e9  # reference mask value (local_3d_attention.py:92)
+
+
+class FeedForward(nn.Module):
+    """Linear -> GELU -> Linear (transformer.py:20-31)."""
+
+    hidden_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        dim = x.shape[-1]
+        x = nn.Dense(self.hidden_dim)(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(dim)(x)
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class DenseAttention(nn.Module):
+    """Fused-QKV multi-head self-attention (transformer.py:34-64)."""
+
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        dim = x.shape[-1]
+        inner = self.heads * self.dim_head
+        project_out = not (self.heads == 1 and self.dim_head == dim)
+
+        qkv = nn.Dense(inner * 3, use_bias=False, name="to_qkv")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split_heads(t):
+            b, n, _ = t.shape
+            return t.reshape(b, n, self.heads, self.dim_head).transpose(
+                0, 2, 1, 3
+            )
+
+        q, k, v = map(split_heads, (q, k, v))
+        scale = self.dim_head**-0.5
+        scores = (
+            jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+            * scale
+        )
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+        b, h, n, d = out.shape
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+        if project_out:
+            out = nn.Dense(dim, name="to_out")(out)
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class DenseTransformer(nn.Module):
+    """Pre-norm residual transformer stack (transformer.py:67-80)."""
+
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        for _ in range(self.depth):
+            x = (
+                DenseAttention(
+                    heads=self.heads,
+                    dim_head=self.dim_head,
+                    dropout=self.dropout,
+                )(nn.LayerNorm()(x), train=train)
+                + x
+            )
+            x = (
+                FeedForward(self.mlp_dim, dropout=self.dropout)(
+                    nn.LayerNorm()(x), train=train
+                )
+                + x
+            )
+        return x
+
+
+# ---------------------------------------------------------------------------
+# Local 3D attention
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def _spatial_window_mask(
+    height: int, width: int, eh: int, ew: int
+) -> np.ndarray:
+    """(HW, HW) bool: True where key (h', w') is OUTSIDE the query's
+    (2eh+1)x(2ew+1) window — positions the reference's unfold would simply
+    not include (local_3d_attention.py:65-69)."""
+    hq = np.arange(height)[:, None, None, None]
+    wq = np.arange(width)[None, :, None, None]
+    hk = np.arange(height)[None, None, :, None]
+    wk = np.arange(width)[None, None, None, :]
+    inside = (np.abs(hq - hk) <= eh) & (np.abs(wq - wk) <= ew)
+    return (~inside).reshape(height * width, height * width)
+
+
+@functools.lru_cache(maxsize=16)
+def _temporal_validity_mask(seq: int, es: int) -> np.ndarray:
+    """(S, 2es+1) bool: True where frame offset ds falls off the clip —
+    the reference's border padding mask (local_3d_attention.py:71-76)."""
+    s = np.arange(seq)[:, None]
+    ds = np.arange(-es, es + 1)[None, :]
+    return ~((s + ds >= 0) & (s + ds < seq))
+
+
+def local3d_attention_weights_mask(
+    seq: int, height: int, width: int, extents: Tuple[int, int, int]
+) -> jnp.ndarray:
+    """(S, HW, Ts, HW) additive mask (0 or NEG_INF)."""
+    es, eh, ew = extents
+    spatial = _spatial_window_mask(height, width, eh, ew)  # (HW, HW)
+    temporal = _temporal_validity_mask(seq, es)  # (S, Ts)
+    masked = spatial[None, :, None, :] | temporal[:, None, :, None]
+    return jnp.where(jnp.asarray(masked), NEG_INF, 0.0).astype(jnp.float32)
+
+
+def _shift_stack_frames(t: jnp.ndarray, es: int) -> jnp.ndarray:
+    """(B, S, HW, D) -> (B, S, Ts, HW, D) where out[:, s, i] = t[:, s+ds_i]
+    (zero-padded off the ends; those positions are masked)."""
+    stacks = []
+    zeros = jnp.zeros_like(t[:, :1])
+    seq = t.shape[1]
+    for ds in range(-es, es + 1):
+        if ds < 0:
+            pad = jnp.broadcast_to(zeros, t[:, : -ds].shape)
+            shifted = jnp.concatenate([pad, t[:, :ds]], axis=1)
+        elif ds > 0:
+            pad = jnp.broadcast_to(zeros, t[:, :ds].shape)
+            shifted = jnp.concatenate([t[:, ds:], pad], axis=1)
+        else:
+            shifted = t
+        stacks.append(shifted)
+    return jnp.stack(stacks, axis=2)
+
+
+def local3d_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    extents: Tuple[int, int, int],
+    heads: int,
+) -> jnp.ndarray:
+    """Windowed space-time attention core.
+
+    Args:
+      q, k, v: (B, S, H, W, heads * dim_head).
+      extents: (e_s, e_h, e_w) neighborhood half-widths.
+      heads: number of attention heads.
+
+    Returns:
+      (B, S, H, W, heads * dim_head) attention output. Matches the
+      reference's unfold-based `local_attention`
+      (local_3d_attention.py:78-99) numerically (same softmax over the same
+      key set with -1e9 border masking).
+    """
+    es, eh, ew = extents
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    hw = h * w
+    ts = 2 * es + 1
+
+    def to_heads(t):
+        return t.reshape(b, s, hw, heads, dh).transpose(0, 3, 1, 2, 4)
+
+    qh = to_heads(q)  # (B, hd, S, HW, dh)
+    kh = to_heads(k)
+    vh = to_heads(v)
+
+    kh = _shift_stack_frames(
+        kh.reshape(b * heads, s, hw, dh), es
+    )  # (B*hd, S, Ts, HW, dh)
+    vh = _shift_stack_frames(vh.reshape(b * heads, s, hw, dh), es)
+    qh = qh.reshape(b * heads, s, hw, dh)
+
+    scale = dh**-0.5
+    scores = (
+        jnp.einsum(
+            "zsqd,zstkd->zsqtk", qh, kh, preferred_element_type=jnp.float32
+        )
+        * scale
+    )  # (B*hd, S, HW, Ts, HW)
+    mask = local3d_attention_weights_mask(s, h, w, extents)  # (S, HW, Ts, HW)
+    scores = scores + mask[None]
+
+    attn = jax.nn.softmax(
+        scores.reshape(b * heads, s, hw, ts * hw), axis=-1
+    ).reshape(scores.shape)
+    out = jnp.einsum(
+        "zsqtk,zstkd->zsqd", attn.astype(vh.dtype), vh
+    )  # (B*hd, S, HW, dh)
+    out = (
+        out.reshape(b, heads, s, hw, dh)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, s, h, w, inner)
+    )
+    return out
+
+
+class Local3dAttention(nn.Module):
+    """QKV projections around the windowed attention core
+    (local_3d_attention.py:34-118). `use_checkpointing` rematerializes the
+    attention inner block in the backward pass, mirroring
+    local_3d_attention.py:110-113."""
+
+    extents: Tuple[int, int, int]
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.0
+    use_checkpointing: bool = True
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, q: jnp.ndarray, *, train: bool = False
+    ) -> jnp.ndarray:
+        dim = x.shape[-1]
+        inner = self.heads * self.dim_head
+        project_out = not (self.heads == 1 and self.dim_head == dim)
+
+        # bias pattern matches the reference (to_q/to_k bias-free, to_v
+        # biased; local_3d_attention.py:46-48)
+        k = nn.Dense(inner, use_bias=False, name="to_k")(x)
+        v = nn.Dense(inner, use_bias=True, name="to_v")(x)
+        qp = nn.Dense(inner, use_bias=False, name="to_q")(q)
+
+        attend = functools.partial(
+            local3d_attention, extents=self.extents, heads=self.heads
+        )
+        if self.use_checkpointing:
+            attend = jax.checkpoint(attend)
+        out = attend(qp, k, v)
+
+        if project_out:
+            out = nn.Dense(dim, name="to_out")(out)
+            out = nn.Dropout(self.dropout, deterministic=not train)(out)
+        return out
+
+
+class Local3dAttentionTransformer(nn.Module):
+    """Token embedding + factorized 3D position embedding + pre-norm stack of
+    local-attention / MLP residual blocks (local_3d_attention.py:121-163).
+
+    Input: (B, S, H, W) int tokens; output (B, S, H, W, dim) features.
+    """
+
+    data_shape: Tuple[int, int, int]  # (S, H, W) maxima for position tables
+    dim: int
+    num_classes: int
+    extents: Tuple[int, int, int]
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dropout: float = 0.0
+    use_checkpointing: bool = True
+
+    def get_pos_embedding(
+        self, s: int, h: int, w: int
+    ) -> jnp.ndarray:
+        """Sum of learned s/h/w embeddings (local_3d_attention.py:140-151)."""
+        s_emb = self.pos_emb_s(jnp.arange(s))  # (S, dim)
+        h_emb = self.pos_emb_h(jnp.arange(h))
+        w_emb = self.pos_emb_w(jnp.arange(w))
+        return (
+            s_emb[:, None, None, :]
+            + h_emb[None, :, None, :]
+            + w_emb[None, None, :, :]
+        )  # (S, H, W, dim)
+
+    def setup(self):
+        self.embedding = nn.Embed(self.num_classes, self.dim)
+        self.pos_emb_s = nn.Embed(self.data_shape[0], self.dim)
+        self.pos_emb_h = nn.Embed(self.data_shape[1], self.dim)
+        self.pos_emb_w = nn.Embed(self.data_shape[2], self.dim)
+        self.attn_norms = [
+            nn.LayerNorm(name=f"attn_norm_{i}") for i in range(self.depth)
+        ]
+        self.attns = [
+            Local3dAttention(
+                extents=self.extents,
+                heads=self.heads,
+                dim_head=self.dim_head,
+                dropout=self.dropout,
+                use_checkpointing=self.use_checkpointing,
+                name=f"attn_{i}",
+            )
+            for i in range(self.depth)
+        ]
+        self.ff_norms = [
+            nn.LayerNorm(name=f"ff_norm_{i}") for i in range(self.depth)
+        ]
+        self.ffs = [
+            FeedForward(self.mlp_dim, dropout=self.dropout, name=f"ff_{i}")
+            for i in range(self.depth)
+        ]
+
+    def __call__(self, tokens: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        b, s, h, w = tokens.shape
+        x = self.embedding(tokens)
+        x = x + self.get_pos_embedding(s, h, w)[None]
+        for norm_a, attn, norm_f, ff in zip(
+            self.attn_norms, self.attns, self.ff_norms, self.ffs
+        ):
+            # reference quirk preserved: PreNorm norms only the k/v input;
+            # the query rides through un-normed (local_3d_attention.py:16-17
+            # applied at :160 — `attn(x, q=x)` norms the positional arg only)
+            x = attn(norm_a(x), x, train=train) + x
+            x = ff(norm_f(x), train=train) + x
+        return x
