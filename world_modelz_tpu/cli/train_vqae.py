@@ -1,0 +1,303 @@
+"""VQ-VAE tokenizer training CLI.
+
+Parity with minecraft/train_vqae.py:170-316 (and the vq-video-diffusion /
+som-diffusion copies): L1/MSE/SmoothL1 reconstruction + weighted commitment
+loss, periodic dead-code revival (`vq_reuse_interval`), checkpointing with
+embedded config, reconstruction PNG grids, per-step metric logging.
+
+TPU-first: one jitted global-view train step over a ('data','model') mesh —
+batch sharded over `data`; VQ-EMA statistics, BatchNorm batch stats and
+gradients all reduce across devices automatically (SURVEY.md §2.2). The
+input pipeline prefetches host batches to device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from world_modelz_tpu.data import (
+    FileListImageDataset,
+    MovingMNIST,
+    PrefetchIterator,
+    SyntheticTrajectorySource,
+)
+from world_modelz_tpu.data.images import load_file_list
+from world_modelz_tpu.models import TokenizerState, VQAutoEncoder
+from world_modelz_tpu.ops import vq_reset_stats, vq_reuse_inactive
+from world_modelz_tpu.parallel import batch_sharding, make_mesh, replicated
+from world_modelz_tpu.train import make_optimizer, step_decay_schedule
+from world_modelz_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from world_modelz_tpu.utils import MetricLogger, dataclass_cli, save_image
+from world_modelz_tpu.utils.config import config_from_dict, config_to_dict
+
+
+@dataclasses.dataclass
+class TrainVqaeConfig:
+    """Flags mirror minecraft/train_vqae.py:70-102."""
+
+    manual_seed: int = 0
+    platform: str = ""  # "", "cpu", "tpu" — the reference's --device flag
+    batch_size: int = 96
+    optimizer: str = "AdamW"
+    weight_decay: float = 1e-4
+    lr: float = 2e-4
+    loss_fn: str = "MAE"  # MAE|L1|MSE|SmoothL1
+    max_steps: int = 10000
+    lr_decay_interval: int = 3000  # reference: halve lr every 3 epochs
+
+    downscale_steps: int = 3
+    embedding_dim: int = 64
+    hidden_planes: int = 128
+    num_embeddings: int = 512
+    in_channels: int = 3
+
+    dataset: str = "synthetic"  # synthetic|moving_mnist|files
+    image_size: int = 64
+    file_list_fn: str = "file_list.json"
+    image_dir_path: str = ""
+    image_fn_regex: str = r".*\.png$"
+
+    checkpoint_interval: int = 2500
+    latent_loss_weight: float = 0.005
+    vq_reuse_interval: int = 500
+    log_interval: int = 50
+
+    n_model: int = 1  # tensor-parallel mesh axis (tokenizer is conv: DP only)
+    wandb: bool = False
+    project: str = "mcvq"
+    tags: str = ""
+    name: str = "vqae"
+    output_dir: str = "outputs/vqae"
+    checkpoint: str = ""  # resume path
+
+
+def build_batch_fn(
+    cfg: TrainVqaeConfig, seed: int
+) -> Callable[[], np.ndarray]:
+    """Host batch source -> (B, H, W, C) float32 in [0,1]."""
+    rng = np.random.default_rng(seed)
+    if cfg.dataset == "moving_mnist":
+        ds = MovingMNIST(
+            seq_len=1, image_size=cfg.image_size, digit_size=24, num_digits=2
+        )
+        return lambda: ds.sample_batch(rng, cfg.batch_size)[:, 0]
+    if cfg.dataset == "files":
+        files = load_file_list(
+            cfg.file_list_fn, cfg.image_dir_path, cfg.image_fn_regex
+        )
+        ds = FileListImageDataset(files, cfg.batch_size, seed=seed)
+        return ds.next_batch
+    if cfg.dataset == "synthetic":
+        src = SyntheticTrajectorySource(
+            num_trajectories=32, traj_frames=64, frame_size=cfg.image_size,
+            seed=seed,
+        )
+        frames = np.concatenate(
+            [np.stack(list(src.load_frames(n))) for n in src.trajectory_names()]
+        ).astype(np.float32) / 255.0
+
+        def sample():
+            idx = rng.integers(0, len(frames), cfg.batch_size)
+            return frames[idx]
+
+        return sample
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def make_tokenizer(cfg: TrainVqaeConfig) -> VQAutoEncoder:
+    return VQAutoEncoder(
+        embedding_dim=cfg.embedding_dim,
+        num_embeddings=cfg.num_embeddings,
+        downscale_steps=cfg.downscale_steps,
+        hidden_planes=cfg.hidden_planes,
+        in_channels=cfg.in_channels,
+    )
+
+
+def load_tokenizer(
+    ckpt_path: str,
+) -> Tuple[VQAutoEncoder, TokenizerState, dict]:
+    """Rehydrate a frozen tokenizer from a checkpoint's embedded config —
+    the reference's decoder_model loading contract (main2.py:390-396)."""
+    state, _step, config = restore_checkpoint(ckpt_path)
+    cfg = config_from_dict(TrainVqaeConfig, config)
+    tok = make_tokenizer(cfg)
+    tok_state = TokenizerState(
+        params=state["tokenizer"]["params"],
+        batch_stats=state["tokenizer"]["batch_stats"],
+        vq=jax.tree_util.tree_map(
+            jnp.asarray, state["tokenizer"]["vq"], is_leaf=None
+        ),
+    )
+    from world_modelz_tpu.ops.vq import VQState
+
+    if not isinstance(tok_state.vq, VQState):
+        tok_state = tok_state.replace(vq=VQState(**state["tokenizer"]["vq"]))
+    return tok, tok_state, config
+
+
+def _loss_fn(kind: str):
+    kind = kind.lower()
+    if kind in ("mae", "l1"):
+        return lambda a, b: jnp.mean(jnp.abs(a - b))
+    if kind == "mse":
+        return lambda a, b: jnp.mean((a - b) ** 2)
+    if kind == "smoothl1":
+        return lambda a, b: jnp.mean(optax.huber_loss(a, b, delta=1.0))
+    raise ValueError(f"unsupported loss {kind!r}")
+
+
+def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    mesh = make_mesh(n_model=cfg.n_model)
+    tok = make_tokenizer(cfg)
+    recon_loss = _loss_fn(cfg.loss_fn)
+
+    key = jax.random.PRNGKey(cfg.manual_seed)
+    sample = jnp.zeros(
+        (1, cfg.image_size, cfg.image_size, cfg.in_channels), jnp.float32
+    )
+    state = tok.init(key, sample)
+    print(
+        "latent grid:",
+        tok.token_grid_shape((cfg.image_size, cfg.image_size)),
+        "params:",
+        sum(x.size for x in jax.tree_util.tree_leaves(state.params)),
+    )
+
+    schedule = step_decay_schedule(
+        cfg.lr, steps_per_epoch=cfg.lr_decay_interval, epoch_step_size=1
+    )
+    opt = make_optimizer(cfg.optimizer, schedule, cfg.weight_decay)
+    opt_state = opt.init(state.params)
+
+    start_step = 0
+    if cfg.checkpoint:
+        restored, start_step, _ = restore_checkpoint(
+            cfg.checkpoint,
+            target={
+                "tokenizer": state,
+                "opt_state": opt_state,
+            },
+        )
+        state, opt_state = restored["tokenizer"], restored["opt_state"]
+        print(f"resumed from {cfg.checkpoint} at step {start_step}")
+
+    repl = replicated(mesh)
+    state = jax.device_put(state, repl)
+    opt_state = jax.device_put(opt_state, repl)
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(state: TokenizerState, opt_state, batch):
+        def loss(params):
+            st = state.replace(params=params)
+            recon, out, new_state = tok.forward(st, batch, train=True)
+            r_loss = recon_loss(recon, batch)
+            total = r_loss + cfg.latent_loss_weight * out.commitment_loss
+            return total, (r_loss, out, new_state, recon)
+
+        (total, (r_loss, out, new_state, recon)), grads = jax.value_and_grad(
+            loss, has_aux=True
+        )(state.params)
+        updates, new_opt = opt.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": total,
+            "r_loss": r_loss,
+            "latent_loss": out.commitment_loss,
+            "perplexity": out.perplexity,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state.replace(params=params), new_opt, metrics, recon
+
+    @jax.jit
+    def reuse_step(state: TokenizerState):
+        vq, count = vq_reuse_inactive(state.vq)
+        return state.replace(vq=vq_reset_stats(vq)), count
+
+    batch_fn = build_batch_fn(cfg, cfg.manual_seed)
+    batches = PrefetchIterator(
+        batch_fn, depth=2, sharding=batch_sharding(mesh)
+    )
+    logger = MetricLogger(
+        cfg.output_dir,
+        cfg.name,
+        use_wandb=cfg.wandb,
+        project=cfg.project,
+        config=config_to_dict(cfg),
+        tags=cfg.tags,
+    )
+
+    last_recon = None
+    t0 = time.time()
+    try:
+        for step in range(start_step + 1, cfg.max_steps + 1):
+            batch = next(batches)
+            state, opt_state, metrics, last_recon = train_step(
+                state, opt_state, batch
+            )
+
+            if cfg.vq_reuse_interval and step % cfg.vq_reuse_interval == 0:
+                state, reused = reuse_step(state)
+                metrics["reused"] = reused
+
+            if step % cfg.log_interval == 0 or step == start_step + 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["lr"] = float(schedule(step))
+                m["steps_per_sec"] = cfg.log_interval / max(
+                    time.time() - t0, 1e-9
+                )
+                t0 = time.time()
+                logger.log(step, **m)
+                print(
+                    f"step {step}: loss {m['loss']:.4f} "
+                    f"perplexity {m['perplexity']:.1f} lr {m['lr']:.2e}"
+                )
+
+            if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+                path = save_checkpoint(
+                    cfg.output_dir,
+                    step,
+                    {"tokenizer": state, "opt_state": opt_state},
+                    config_to_dict(cfg),
+                )
+                print("checkpoint:", path)
+                grid = np.asarray(jax.device_get(last_recon))
+                save_image(
+                    grid[:16],
+                    f"{cfg.output_dir}/{cfg.name}_reconst_{step:07d}.png",
+                )
+    finally:
+        batches.close()
+        logger.close()
+
+    final = save_checkpoint(
+        cfg.output_dir,
+        cfg.max_steps,
+        {"tokenizer": state, "opt_state": opt_state},
+        config_to_dict(cfg),
+    )
+    print("final checkpoint:", final)
+    return state, {"checkpoint": final}
+
+
+def main(argv=None):
+    cfg = dataclass_cli(TrainVqaeConfig, argv)
+    print("Config:", cfg)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,436 @@
+"""Masked video-diffusion training CLI (next-frame prediction).
+
+Parity with vq-video-diffusion/main.py (MovingMNIST) and minecraft/main2.py
+(trajectory data) in one module — the reference files are near-identical
+copies differing only in the data source:
+- frozen VQ tokenizer loaded from a checkpoint's embedded config
+  (main2.py:390-396)
+- loss-aware diffusion-time sampling + masked corruption of the last frame
+  (main2.py:251-264)
+- Local3dAttentionTransformer denoiser, CE loss on the last frame
+  (main2.py:271-279)
+- warmup+cosine schedule, optional model EMA, gradient accumulation
+- periodic eval: iterative-unmask autoregressive rollout decoded to pixel
+  frames, saved as PNG grid + GIF (main2.py:316-338; make_gif.sh)
+- checkpoints bundle params/EMA/optimizer/sampler + config (main2.py:302-314)
+
+TPU-first: tokenization, corruption, denoiser fwd/bwd, optimizer, EMA and
+the sampler histogram update run in ONE jitted global-view step over the
+('data','model') mesh — the reference's per-step host syncs (grad-norm
+Python loop, sampler .cpu() update, SURVEY.md §3.2) are gone.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from world_modelz_tpu.cli.train_vqae import load_tokenizer
+from world_modelz_tpu.data import (
+    BufferedTrajectorySampler,
+    MovingMNIST,
+    PrefetchIterator,
+    SyntheticTrajectorySource,
+)
+from world_modelz_tpu.diffusion import corrupt_tokens, rollout_frames
+from world_modelz_tpu.models.video import VqVideoDiffusionModel
+from world_modelz_tpu.parallel import (
+    DEFAULT_TP_RULES,
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_params,
+)
+from world_modelz_tpu.train import (
+    ema_init,
+    ema_update,
+    loss_aware_init,
+    loss_aware_sample,
+    loss_aware_update,
+    make_optimizer,
+    warmup_cosine_schedule,
+)
+from world_modelz_tpu.train.checkpoint import (
+    restore_checkpoint,
+    save_checkpoint,
+)
+from world_modelz_tpu.utils import (
+    MetricLogger,
+    dataclass_cli,
+    make_grid,
+    save_gif,
+    save_image,
+)
+from world_modelz_tpu.utils.config import config_to_dict
+
+
+@dataclasses.dataclass
+class VideoDiffusionConfig:
+    """Flags mirror minecraft/main2.py:149-197."""
+
+    manual_seed: int = 42
+    platform: str = ""  # "", "cpu", "tpu" — the reference's --device flag
+    lr: float = 1e-4
+    batch_size: int = 10
+    optimizer: str = "AdamW"
+    weight_decay: float = 1e-7
+    ema_decay: float = 0.0
+
+    dataset: str = "moving_mnist"  # moving_mnist|synthetic|minerl
+    data_dir: str = ""
+    image_size: int = 64
+    n_past: int = 5
+    num_digits: int = 2
+    digit_size: int = 24
+    decoder_model: str = ""  # tokenizer checkpoint path (required)
+
+    max_steps: int = 200_000
+    warmup: int = 500
+    accumulation_steps: int = 1
+    checkpoint_interval: int = 25_000
+    eval_interval: int = 2000
+    eval_timesteps: int = 4
+    eval_batch_size: int = 8
+    num_eval_iterations: int = 30
+    p_max_uniform: float = 0.1
+    log_interval: int = 10
+
+    dim: int = 256
+    extents: Tuple[int, int, int] = (3, 3, 3)
+    depth: int = 4
+    mlp_dim: int = 256
+    dim_head: int = 128
+    heads: int = 1
+    dropout: float = 0.0
+
+    buffer_size: int = 100_000
+    skip_frames: int = 2
+
+    n_model: int = 1
+    wandb: bool = False
+    project: str = "vq-video-diffusion"
+    tags: str = ""
+    name: str = "vq_diffusion"
+    output_dir: str = "outputs/video_diffusion"
+    checkpoint: str = ""
+    eval: bool = False
+    topk: int = -1
+
+
+def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
+    """Host source of (B, n_past+1, H, W, C) float32 clips."""
+    rng = np.random.default_rng(seed)
+    if cfg.dataset == "moving_mnist":
+        ds = MovingMNIST(
+            data_root=cfg.data_dir or None,
+            seq_len=cfg.n_past + 1,
+            image_size=cfg.image_size,
+            num_digits=cfg.num_digits,
+            digit_size=cfg.digit_size,
+            deterministic=False,
+        )
+        return lambda b: ds.sample_batch(rng, b), None
+    if cfg.dataset in ("synthetic", "minerl"):
+        if cfg.dataset == "minerl":
+            from world_modelz_tpu.data.trajectory import MineRLTrajectorySource
+
+            src = MineRLTrajectorySource(
+                ["MineRLTreechop-v0"], cfg.data_dir
+            )
+        else:
+            src = SyntheticTrajectorySource(frame_size=cfg.image_size)
+        sampler = BufferedTrajectorySampler(
+            src,
+            buffer_size=cfg.buffer_size,
+            traj_len=cfg.n_past + 1,
+            skip_frames=cfg.skip_frames,
+            seed=seed,
+        )
+        return (
+            lambda b: sampler.sample_batch(b).astype(np.float32) / 255.0,
+            sampler,
+        )
+    raise ValueError(f"unknown dataset {cfg.dataset!r}")
+
+
+def make_model(
+    cfg: VideoDiffusionConfig, token_shape: Tuple[int, int, int], num_embeddings: int
+) -> VqVideoDiffusionModel:
+    return VqVideoDiffusionModel(
+        data_shape=token_shape,
+        dim=cfg.dim,
+        num_classes=num_embeddings,
+        extents=tuple(cfg.extents),
+        depth=cfg.depth,
+        mlp_dim=cfg.mlp_dim,
+        dim_head=cfg.dim_head,
+        heads=cfg.heads,
+        dropout=cfg.dropout,
+    )
+
+
+def evaluate_and_save(
+    *,
+    cfg: VideoDiffusionConfig,
+    model,
+    params,
+    tok,
+    tok_state,
+    clip_fn,
+    key,
+    tag: str,
+    step: int,
+    logger: Optional[MetricLogger] = None,
+    save_frames: bool = False,
+):
+    """Autoregressive rollout + decode + artifact writing
+    (main2.py:59-146)."""
+    frames = jnp.asarray(clip_fn(cfg.eval_batch_size))
+    b, s, hh, ww, c = frames.shape
+    tokens = tok.encode(
+        tok_state, frames.reshape(b * s, hh, ww, c)
+    )
+    tokens = tokens.reshape(b, s, tokens.shape[1], tokens.shape[2])
+
+    logits_fn = lambda z: model.apply({"params": params}, z)
+    gen_tokens = rollout_frames(
+        key,
+        logits_fn,
+        tokens,
+        num_frames=cfg.eval_timesteps,
+        num_classes=tok.num_embeddings,
+        mask_token=tok.num_embeddings,
+        num_iterations=cfg.num_eval_iterations,
+        sample_topk=cfg.topk,
+    )  # (B, T, h, w)
+    t = gen_tokens.shape[1]
+    decoded = tok.decode(
+        tok_state, gen_tokens.reshape(b * t, *gen_tokens.shape[2:])
+    )
+    decoded = np.asarray(jax.device_get(decoded)).reshape(
+        b, t, *decoded.shape[1:]
+    )
+    seed_frame = np.asarray(jax.device_get(frames[:, -1]))
+
+    # layout mirrors eval_model_and_save: one row per timestep, batch across
+    all_frames = np.concatenate([seed_frame[:, None], decoded], axis=1)
+    grid = make_grid(
+        all_frames.transpose(1, 0, 2, 3, 4).reshape(
+            -1, *all_frames.shape[2:]
+        ),
+        nrow=b,
+    )
+    fn = f"{cfg.output_dir}/{cfg.name}_eval_{step:07d}_{tag}.png"
+    save_image(grid, fn)
+    gif_frames = [make_grid(all_frames[:, i], nrow=b) for i in range(t + 1)]
+    save_gif(gif_frames, fn.replace(".png", ".gif"), fps=4)
+    if save_frames:
+        for i in range(t + 1):
+            save_image(
+                make_grid(all_frames[:, i], nrow=b),
+                f"{cfg.output_dir}/{cfg.name}_{tag}_frame_{i:04d}.png",
+            )
+    if logger is not None:
+        logger.log_image(step, f"reconstruction_{tag}", grid)
+    print("eval artifact:", fn)
+    return fn
+
+
+def train(cfg: VideoDiffusionConfig):
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    if not cfg.decoder_model:
+        raise ValueError("--decoder_model (tokenizer checkpoint) is required")
+    mesh = make_mesh(n_model=cfg.n_model)
+
+    tok, tok_state, tok_cfg = load_tokenizer(cfg.decoder_model)
+    num_embeddings = tok.num_embeddings
+    mask_token = num_embeddings
+
+    clip_fn, sampler = build_clip_fn(cfg, cfg.manual_seed)
+
+    # probe token-grid shape from one encoded clip (main2.py:399-404)
+    probe = jnp.asarray(clip_fn(1))
+    _, s, hh, ww, c = probe.shape
+    z = tok.encode(tok_state, probe[0])
+    token_shape = (s, z.shape[1], z.shape[2])
+    print("token grid:", token_shape)
+
+    model = make_model(cfg, token_shape, num_embeddings)
+    key = jax.random.PRNGKey(cfg.manual_seed)
+    params = model.init(
+        key, jnp.zeros((1,) + token_shape, jnp.int32)
+    )["params"]
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    print(f"parameters: {n_params:,}")
+
+    schedule = warmup_cosine_schedule(cfg.lr, cfg.warmup, cfg.max_steps)
+    opt = make_optimizer(cfg.optimizer, schedule, cfg.weight_decay)
+    if cfg.accumulation_steps > 1:
+        opt = optax.MultiSteps(opt, cfg.accumulation_steps)
+    opt_state = opt.init(params)
+    ema_params = ema_init(params) if cfg.ema_decay > 0 else None
+    sampler_state = loss_aware_init()
+
+    start_step = 0
+    if cfg.checkpoint:
+        target = {
+            "params": params,
+            "ema": ema_params if ema_params is not None else {},
+            "opt_state": opt_state,
+            "sampler": sampler_state,
+        }
+        restored, start_step, _ = restore_checkpoint(cfg.checkpoint, target)
+        params = restored["params"]
+        ema_params = restored["ema"] if cfg.ema_decay > 0 else None
+        opt_state = restored["opt_state"]
+        sampler_state = restored["sampler"]
+        print(f"resumed from {cfg.checkpoint} at step {start_step}")
+
+    # shard: params/opt replicated or tensor-parallel; batch over 'data'
+    p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
+    params = jax.device_put(params, p_shard)
+    repl = replicated(mesh)
+    tok_state = jax.device_put(tok_state, repl)
+    sampler_state = jax.device_put(sampler_state, repl)
+    if ema_params is not None:
+        ema_params = jax.device_put(ema_params, p_shard)
+
+    if cfg.eval:
+        evaluate_and_save(
+            cfg=cfg, model=model, params=params, tok=tok,
+            tok_state=tok_state, clip_fn=clip_fn, key=key, tag="base",
+            step=start_step, save_frames=True,
+        )
+        if sampler is not None:
+            sampler.close()
+        return params
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_step(params, ema_params, opt_state, sampler_state, frames, key):
+        b, s, hh, ww, c = frames.shape
+        k_r, k_corrupt, k_drop = jax.random.split(key, 3)
+
+        tokens = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
+        tokens = tokens.reshape(b, s, tokens.shape[1], tokens.shape[2])
+        target = tokens[:, -1]
+
+        r = loss_aware_sample(sampler_state, k_r, b)
+        corrupted, _ = corrupt_tokens(
+            k_corrupt,
+            target.reshape(b, -1),
+            r,
+            num_classes=num_embeddings,
+            mask_token=mask_token,
+            p_max_uniform=cfg.p_max_uniform,
+        )
+        batch_z = tokens.at[:, -1].set(corrupted.reshape(target.shape))
+
+        def loss_fn(p):
+            logits = model.apply(
+                {"params": p},
+                batch_z,
+                train=True,
+                rngs={"dropout": k_drop},
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, num_embeddings), target.reshape(-1)
+            )
+            return ce.mean(), ce.reshape(b, -1).mean(axis=1)
+
+        (loss, per_sample), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        sampler_state = loss_aware_update(sampler_state, r, per_sample)
+        gn = optax.global_norm(grads)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_params is not None:
+            ema_params = ema_update(ema_params, params, cfg.ema_decay)
+        return params, ema_params, opt_state, sampler_state, loss, gn
+
+    batches = PrefetchIterator(
+        lambda: clip_fn(cfg.batch_size),
+        depth=2,
+        sharding=batch_sharding(mesh),
+    )
+    logger = MetricLogger(
+        cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
+        project=cfg.project, config=config_to_dict(cfg), tags=cfg.tags,
+    )
+
+    t0 = time.time()
+    try:
+        for step in range(start_step + 1, cfg.max_steps + 1):
+            frames = next(batches)
+            key, sub = jax.random.split(key)
+            params, ema_params, opt_state, sampler_state, loss, gn = (
+                train_step(
+                    params, ema_params, opt_state, sampler_state, frames, sub
+                )
+            )
+
+            if step % cfg.log_interval == 0 or step == start_step + 1:
+                dt = time.time() - t0
+                t0 = time.time()
+                m = {
+                    "loss": float(loss),
+                    "grad_norm": float(gn),
+                    "lr": float(schedule(step)),
+                    "steps_per_sec": cfg.log_interval / max(dt, 1e-9),
+                }
+                logger.log(step, **m)
+                print(
+                    f"{step}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
+                    f"grad_norm {m['grad_norm']:.3e}"
+                )
+
+            if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+                path = save_checkpoint(
+                    cfg.output_dir,
+                    step,
+                    {
+                        "params": params,
+                        "ema": ema_params if ema_params is not None else {},
+                        "opt_state": opt_state,
+                        "sampler": sampler_state,
+                    },
+                    config_to_dict(cfg),
+                )
+                print("checkpoint:", path)
+
+            if cfg.eval_interval and step % cfg.eval_interval == 0:
+                evals = [("base", params)]
+                if ema_params is not None:
+                    evals.append(("ema", ema_params))
+                for tag, p in evals:
+                    key, sub = jax.random.split(key)
+                    evaluate_and_save(
+                        cfg=cfg, model=model, params=p, tok=tok,
+                        tok_state=tok_state, clip_fn=clip_fn, key=sub,
+                        tag=tag, step=step, logger=logger,
+                    )
+    finally:
+        batches.close()
+        logger.close()
+        if sampler is not None:
+            sampler.close()
+
+    return params
+
+
+def main(argv=None):
+    cfg = dataclass_cli(VideoDiffusionConfig, argv)
+    print("Config:", cfg)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -14,8 +14,14 @@ import jax
 
 
 def ema_init(tree: Any) -> Any:
-    """Start the shadow copy at the current values (model_ema_v2.py:29)."""
-    return jax.tree_util.tree_map(lambda x: x, tree)
+    """Start the shadow copy at the current values (model_ema_v2.py:29).
+
+    Materializes distinct buffers (not aliases) so the shadow tree can be
+    buffer-donated independently of the parameters in a jitted step.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, tree)
 
 
 def ema_update(ema_tree: Any, new_tree: Any, decay: float) -> Any:
