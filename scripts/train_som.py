@@ -1,0 +1,7 @@
+#!/usr/bin/env python
+"""Launcher matching som-diffusion/train_som.py; delegates to
+world_modelz_tpu.cli.som_pipeline.main_train_som."""
+from world_modelz_tpu.cli.som_pipeline import main_train_som as main
+
+if __name__ == "__main__":
+    main()
