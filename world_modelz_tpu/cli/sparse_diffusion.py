@@ -81,6 +81,7 @@ class SparseDiffusionConfig:
     ema_decay: float = 0.0
 
     decoder_model: str = ""
+    tokenizer: str = ""  # external tokenizer spec, e.g. "taming:<cfg>,<ckpt>"
     dataset: str = "synthetic"  # synthetic|minerl
     mlr_data_dir: str = ""
     image_size: int = 64
@@ -117,16 +118,29 @@ class SparseDiffusionConfig:
     output_dir: str = "outputs/sparse_diffusion"
 
 
-def decode_volume(tok, tok_state, volume: jnp.ndarray, decode_n: int = 16):
+def decode_volume(
+    tok, tok_state, volume: jnp.ndarray, decode_n: int = 16, ext_tok=None
+):
     """Chunked decode of a (B, S, h, w) token volume to pixel frames,
-    clamping out-of-codebook (mask) tokens to 0 (sparse_diffusion.py:118-136)."""
-    volume = jnp.where(volume >= tok.num_embeddings, 0, volume)
+    clamping out-of-codebook (mask) tokens to 0 (sparse_diffusion.py:118-136).
+    With `ext_tok` set, decodes through the external FrameTokenizer."""
+    n_emb = ext_tok.num_embeddings if ext_tok is not None else tok.num_embeddings
+    volume = jnp.where(volume >= n_emb, 0, volume)
     b, s, h, w = volume.shape
     flat = volume.reshape(b * s, h, w)
     frames = []
-    decode = jax.jit(tok.decode)
-    for i in range(0, flat.shape[0], decode_n):
-        frames.append(np.asarray(jax.device_get(decode(tok_state, flat[i : i + decode_n]))))
+    if ext_tok is not None:
+        flat_np = np.asarray(jax.device_get(flat))
+        for i in range(0, flat_np.shape[0], decode_n):
+            frames.append(ext_tok.decode(flat_np[i : i + decode_n]))
+    else:
+        decode = jax.jit(tok.decode)
+        for i in range(0, flat.shape[0], decode_n):
+            frames.append(
+                np.asarray(
+                    jax.device_get(decode(tok_state, flat[i : i + decode_n]))
+                )
+            )
     frames = np.concatenate(frames)
     return frames.reshape(b, s, *frames.shape[1:])
 
@@ -134,11 +148,22 @@ def decode_volume(tok, tok_state, volume: jnp.ndarray, decode_n: int = 16):
 def train(cfg: SparseDiffusionConfig):
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
-    if not cfg.decoder_model:
-        raise ValueError("--decoder_model (tokenizer checkpoint) is required")
     mesh = make_mesh(n_model=cfg.n_model)
-    tok, tok_state, _ = load_tokenizer(cfg.decoder_model)
-    num_embeddings = tok.num_embeddings
+    if cfg.tokenizer:
+        # external tokenizer plug-in (sparse_diffusion_sber variant)
+        from world_modelz_tpu.models.external import make_tokenizer
+
+        ext_tok = make_tokenizer(cfg.tokenizer)
+        tok = tok_state = None
+        num_embeddings = ext_tok.num_embeddings
+    else:
+        if not cfg.decoder_model:
+            raise ValueError(
+                "--decoder_model (tokenizer checkpoint) is required"
+            )
+        ext_tok = None
+        tok, tok_state, _ = load_tokenizer(cfg.decoder_model)
+        num_embeddings = tok.num_embeddings
     mask_token = num_embeddings
     shape = (cfg.S, cfg.H, cfg.W)
     volume = cfg.S * cfg.H * cfg.W
@@ -190,15 +215,26 @@ def train(cfg: SparseDiffusionConfig):
 
     p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
     params = jax.device_put(params, p_shard)
-    tok_state = jax.device_put(tok_state, replicated(mesh))
+    if tok_state is not None:
+        tok_state = jax.device_put(tok_state, replicated(mesh))
     if ema_params is not None:
         ema_params = jax.device_put(ema_params, p_shard)
 
-    @jax.jit
-    def encode_batch(frames):
-        b, s, hh, ww, c = frames.shape
-        z = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
-        return z.reshape(b, s, z.shape[1], z.shape[2])
+    if ext_tok is not None:
+
+        def encode_batch(frames):
+            frames = np.asarray(frames)
+            b, s, hh, ww, c = frames.shape
+            z = ext_tok.encode(frames.reshape(b * s, hh, ww, c))
+            return jnp.asarray(z.reshape(b, s, z.shape[1], z.shape[2]))
+
+    else:
+
+        @jax.jit
+        def encode_batch(frames):
+            b, s, hh, ww, c = frames.shape
+            z = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
+            return z.reshape(b, s, z.shape[1], z.shape[2])
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_step(params, ema_params, opt_state, sampler_state, batch_z, key):
@@ -264,7 +300,7 @@ def train(cfg: SparseDiffusionConfig):
             num_iterations=cfg.num_eval_iterations,
             sampling_type=cfg.sampling_type,
         )
-        frames = decode_volume(tok, tok_state, vol)
+        frames = decode_volume(tok, tok_state, vol, ext_tok=ext_tok)
         grid = make_grid(
             frames.reshape(-1, *frames.shape[2:]), nrow=cfg.S
         )
@@ -297,7 +333,7 @@ def train(cfg: SparseDiffusionConfig):
                 )
                 batch_z = encode_batch(jnp.asarray(frames))
                 if cfg.single_batch and step == 1:
-                    gt = decode_volume(tok, tok_state, batch_z)
+                    gt = decode_volume(tok, tok_state, batch_z, ext_tok=ext_tok)
                     save_image(
                         make_grid(
                             gt.reshape(-1, *gt.shape[2:]), nrow=cfg.S

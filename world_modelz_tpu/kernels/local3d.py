@@ -1,0 +1,186 @@
+"""Fused local 3D windowed space-time attention as a Pallas TPU kernel.
+
+TPU equivalent of the reference's Triton prototype
+(vq-video-diffusion/triton_prototpye/local_3d_attention_triton1.py:16-104),
+which computed Q.K scores over the *virtual* unfolded key tensor to avoid the
+27x materialization — but was forward-only and single-head (:186-189). This
+kernel is multi-head with a full backward pass.
+
+Design (vs. the XLA reference `models.attention.local3d_attention`, which is
+the golden baseline): one grid program per (batch*head, frame). The program
+loads its query frame (HW, dh) and the 2e_s+1 zero-padded neighbor frames of
+K and V — each neighbor offset is its own input spec, giving stride-1
+overlapping windows over the frame axis — computes the (HW, Ts*HW) score
+matrix on the MXU, applies the spatial-window + sequence-border mask
+generated in-register from iota (no mask tensor ever touches HBM),
+softmaxes, and multiplies back down to the (HW, dh) output. The score matrix
+lives only in VMEM, flash-attention style; the XLA path materializes it in
+HBM (~59 MB per head per clip at minecraft scale S=32, HW=256, Ts=7).
+
+Backward: `jax.custom_vjp` recomputes gradients through the XLA reference
+implementation (rematerialization — the same trade the reference makes with
+`torch.utils.checkpoint`, local_3d_attention.py:110-113). A hand-written
+backward kernel is a later optimization; the contract and tests won't change.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _attn_kernel(
+    *refs, seq: int, height: int, width: int,
+    extents: Tuple[int, int, int], dh: int
+):
+    es, eh, ew = extents
+    hw = height * width
+    ts = 2 * es + 1
+    s = pl.program_id(1)
+
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + ts]
+    v_refs = refs[1 + ts : 1 + 2 * ts]
+    o_ref = refs[1 + 2 * ts]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (HW, dh)
+    k = jnp.concatenate(
+        [r[0, 0].astype(jnp.float32) for r in k_refs], axis=0
+    )  # (Ts*HW, dh)
+    v = jnp.concatenate(
+        [r[0, 0].astype(jnp.float32) for r in v_refs], axis=0
+    )
+
+    scale = dh**-0.5
+    scores = (
+        jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    )  # (HW, Ts*HW)
+
+    # in-register mask: spatial window + frame validity
+    qi = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 1)
+    hq, wq = qi // width, qi % width
+    ds = kj // hw
+    rem = kj % hw
+    hk, wk = rem // width, rem % width
+    frame = s + ds - es  # absolute key frame index
+    ok = (
+        (jnp.abs(hq - hk) <= eh)
+        & (jnp.abs(wq - wk) <= ew)
+        & (frame >= 0)
+        & (frame < seq)
+    )
+    scores = jnp.where(ok, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    attn = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0, 0] = jnp.dot(
+        attn, v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+def _fwd_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    extents: Tuple[int, int, int],
+    heads: int,
+    interpret: bool,
+) -> jnp.ndarray:
+    es, eh, ew = extents
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    hw = h * w
+    ts = 2 * es + 1
+
+    def to_zs(t):
+        # (B, S, H, W, heads*dh) -> (B*heads, S, HW, dh)
+        t = t.reshape(b, s, hw, heads, dh)
+        return t.transpose(0, 3, 1, 2, 4).reshape(b * heads, s, hw, dh)
+
+    qz, kz, vz = to_zs(q), to_zs(k), to_zs(v)
+    # zero-pad the frame axis so offset ds reads padded frame s + ds
+    kz = jnp.pad(kz, ((0, 0), (es, es), (0, 0), (0, 0)))
+    vz = jnp.pad(vz, ((0, 0), (es, es), (0, 0), (0, 0)))
+
+    def frame_spec(ds):
+        # overlapping stride-1 windows: one (1, 1, HW, dh) block per offset;
+        # block index == element index because the frame-dim block size is 1
+        return pl.BlockSpec(
+            (1, 1, hw, dh),
+            lambda z, i, ds=ds: (z, i + ds, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    q_spec = pl.BlockSpec(
+        (1, 1, hw, dh), lambda z, i: (z, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    kernel = functools.partial(
+        _attn_kernel, seq=s, height=h, width=w, extents=extents, dh=dh
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * heads, s),
+        in_specs=[q_spec]
+        + [frame_spec(ds) for ds in range(ts)]
+        + [frame_spec(ds) for ds in range(ts)],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * hw * ts * hw * dh,
+            bytes_accessed=4 * b * heads * s * hw * dh * 4,
+            transcendentals=b * heads * s * hw * ts * hw,
+        ),
+    )(qz, *([kz] * ts), *([vz] * ts))
+
+    return (
+        out.reshape(b, heads, s, hw, dh)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, s, h, w, inner)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def local3d_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    extents: Tuple[int, int, int],
+    heads: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in replacement for `models.attention.local3d_attention`.
+
+    Args/returns identical to the XLA reference; `interpret=True` runs the
+    Pallas interpreter (CPU testing).
+    """
+    return _fwd_impl(q, k, v, extents, heads, interpret)
+
+
+def _fwd(q, k, v, extents, heads, interpret):
+    return _fwd_impl(q, k, v, extents, heads, interpret), (q, k, v)
+
+
+def _bwd(extents, heads, interpret, residuals, g):
+    # rematerialized backward through the XLA reference (one recompute; the
+    # reference checkpoints this block for the same reason)
+    from world_modelz_tpu.models.attention import local3d_attention
+
+    q, k, v = residuals
+    _, vjp = jax.vjp(
+        lambda q, k, v: local3d_attention(q, k, v, extents, heads), q, k, v
+    )
+    return vjp(g)
+
+
+local3d_attention_pallas.defvjp(_fwd, _bwd)

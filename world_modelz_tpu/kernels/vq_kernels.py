@@ -1,0 +1,128 @@
+"""Fused VQ nearest-codebook search as a Pallas TPU kernel.
+
+The reference's VQ hot spot is the O(N*K*D) distance tensor materialized per
+forward (vq/vq.py:29-30); the XLA path in `ops/vq.py` already reduces that to
+a matmul, but still writes the (N, K) score matrix to HBM before the argmin.
+This kernel fuses score computation, argmin, and codebook gather in VMEM:
+per input tile it
+
+  1. computes `scores = x @ E^T` on the MXU,
+  2. reduces `argmin_k(|e_k|^2 - 2 scores)` on the VPU (the |x|^2 term is
+     constant per row and dropped — it cannot change the argmin),
+  3. emits the selected indices and, optionally, the quantized vectors via a
+     one-hot matmul (MXU again — no gather needed).
+
+Grid: one program per tile of N input rows; the codebook stays resident in
+VMEM across the whole grid (512 x 64 f32 = 128 KiB).
+
+Golden-tested against `ops.vq.vq_encode` (tests/test_kernels.py), following
+the reference's Triton-vs-eager harness idiom
+(triton_prototpye/local_3d_attention_triton1.py:276-319).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _vq_kernel(x_ref, e_ref, e_sq_ref, idx_ref, q_ref=None):
+    """One tile: x (TN, D), codebook (K, D) -> indices (TN, 1) and, when a
+    q_ref output is wired, quantized vectors (TN, D)."""
+    x = x_ref[:].astype(jnp.float32)
+    e = e_ref[:].astype(jnp.float32)
+    # scores on the MXU; |x|^2 is row-constant and irrelevant to the argmin
+    scores = jnp.dot(x, e.T, preferred_element_type=jnp.float32)  # (TN, K)
+    dist = e_sq_ref[:] - 2.0 * scores  # (TN, K) via broadcast of (1, K)
+    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TN,)
+    idx_ref[:] = idx[:, None]
+    if q_ref is not None:
+        # quantized = onehot @ E  (MXU; avoids an in-kernel gather)
+        k = e.shape[0]
+        onehot = (
+            idx[:, None]
+            == jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
+        ).astype(e.dtype)
+        q_ref[:] = jnp.dot(
+            onehot, e, preferred_element_type=jnp.float32
+        ).astype(q_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_n", "interpret", "return_quantized")
+)
+def vq_encode_pallas(
+    x: jnp.ndarray,
+    codebook: jnp.ndarray,
+    *,
+    tile_n: int = 512,
+    interpret: bool = False,
+    return_quantized: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Nearest-codebook indices (and quantized vectors) for flat inputs.
+
+    Args:
+      x: (N, D) inputs (any leading shape is flattened by callers).
+      codebook: (K, D) code vectors (single-latent codebook; the multi-latent
+        case loops this kernel per latent or falls back to the XLA path).
+      tile_n: rows per grid program.
+      interpret: run in the Pallas interpreter (CPU testing).
+
+    Returns:
+      (indices (N,) int32, quantized (N, D) of x.dtype).
+    """
+    n, d = x.shape
+    k = codebook.shape[0]
+    pad_n = -n % tile_n
+    if pad_n:
+        x = jnp.pad(x, ((0, pad_n), (0, 0)))
+    n_pad = x.shape[0]
+
+    e_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)[None, :]
+
+    grid = (n_pad // tile_n,)
+    in_specs = [
+        pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    idx_spec = pl.BlockSpec(
+        (tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    q_spec = pl.BlockSpec(
+        (tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    cost = pl.CostEstimate(
+        flops=2 * n_pad * k * d * 2,
+        bytes_accessed=(n_pad * d + k * d + n_pad * (d + 1)) * 4,
+        transcendentals=0,
+    )
+    if return_quantized:
+        idx, q = pl.pallas_call(
+            _vq_kernel,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[idx_spec, q_spec],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+                jax.ShapeDtypeStruct((n_pad, d), x.dtype),
+            ],
+            interpret=interpret,
+            cost_estimate=cost,
+        )(x, codebook, e_sq)
+        return idx[:n, 0], q[:n]
+    idx = pl.pallas_call(
+        functools.partial(_vq_kernel),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=idx_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+        interpret=interpret,
+        cost_estimate=cost,
+    )(x, codebook, e_sq)
+    return idx[:n, 0], None

@@ -261,6 +261,7 @@ class Local3dAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     use_checkpointing: bool = True
+    backend: str = "xla"  # "xla" | "pallas" (fused kernel, kernels/local3d)
 
     @nn.compact
     def __call__(
@@ -276,12 +277,23 @@ class Local3dAttention(nn.Module):
         v = nn.Dense(inner, use_bias=True, name="to_v")(x)
         qp = nn.Dense(inner, use_bias=False, name="to_q")(q)
 
-        attend = functools.partial(
-            local3d_attention, extents=self.extents, heads=self.heads
-        )
-        if self.use_checkpointing:
-            attend = jax.checkpoint(attend)
-        out = attend(qp, k, v)
+        if self.backend == "pallas":
+            from world_modelz_tpu.kernels.local3d import (
+                local3d_attention_pallas,
+            )
+
+            # custom_vjp already rematerializes in bwd — no extra checkpoint
+            out = local3d_attention_pallas(
+                qp, k, v, self.extents, self.heads,
+                jax.default_backend() != "tpu",
+            )
+        else:
+            attend = functools.partial(
+                local3d_attention, extents=self.extents, heads=self.heads
+            )
+            if self.use_checkpointing:
+                attend = jax.checkpoint(attend)
+            out = attend(qp, k, v)
 
         if project_out:
             out = nn.Dense(dim, name="to_out")(out)
@@ -306,6 +318,7 @@ class Local3dAttentionTransformer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     use_checkpointing: bool = True
+    backend: str = "xla"
 
     def get_pos_embedding(
         self, s: int, h: int, w: int
@@ -335,6 +348,7 @@ class Local3dAttentionTransformer(nn.Module):
                 dim_head=self.dim_head,
                 dropout=self.dropout,
                 use_checkpointing=self.use_checkpointing,
+                backend=self.backend,
                 name=f"attn_{i}",
             )
             for i in range(self.depth)

@@ -1,0 +1,137 @@
+"""External-tokenizer plug-in boundary (Sber/taming GumbelVQ adapter).
+
+Parity with minecraft/sparse_diffusion_sber.py:23-60,162-164,452-453, which
+swaps the in-repo VQ-VAE for a pretrained taming-transformers `GumbelVQ`
+VQGAN: encode via `model.encode(x)[2][2]` token indices, decode via
+`quantize.get_codebook_entry` + decoder, with [-1, 1] <-> [0, 1] range
+adapters.
+
+Design: any object satisfying :class:`FrameTokenizer` can drive the
+diffusion trainers — `num_embeddings`, `encode(images) -> (B, h, w) int`,
+`decode(tokens) -> images` with float [0,1] NHWC images on both ends. The
+in-repo `VQAutoEncoder`/`TokenizerState` pair is bridged by
+:class:`NativeTokenizer`; pretrained torch VQGANs (taming-transformers
+checkpoints) by :class:`TamingGumbelVQAdapter`, which runs the frozen torch
+codec on CPU at the host boundary (host-side tokenization is off the TPU hot
+path by design — the sparse trainer amortizes it over
+`change_batch_interval` steps, sparse_diffusion.py:412-425).
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+import numpy as np
+
+
+@runtime_checkable
+class FrameTokenizer(Protocol):
+    """Minimal tokenizer contract used by the diffusion trainers."""
+
+    num_embeddings: int
+
+    def encode(self, images: np.ndarray) -> np.ndarray:
+        """(B, H, W, 3) float [0,1] -> (B, h, w) int token grid."""
+        ...
+
+    def decode(self, tokens: np.ndarray) -> np.ndarray:
+        """(B, h, w) int tokens -> (B, H, W, 3) float [0,1]."""
+        ...
+
+
+class NativeTokenizer:
+    """Bridge the in-repo functional VQAutoEncoder to the protocol."""
+
+    def __init__(self, tok, state):
+        import jax
+        import jax.numpy as jnp
+
+        self._encode = jax.jit(lambda x: tok.encode(state, x))
+        self._decode = jax.jit(lambda z: tok.decode(state, z))
+        self._jnp = jnp
+        self.num_embeddings = tok.num_embeddings
+
+    def encode(self, images):
+        import jax
+
+        return np.asarray(jax.device_get(self._encode(self._jnp.asarray(images))))
+
+    def decode(self, tokens):
+        import jax
+
+        return np.asarray(
+            jax.device_get(self._decode(self._jnp.asarray(tokens)))
+        )
+
+
+class TamingGumbelVQAdapter:
+    """Pretrained taming-transformers GumbelVQ VQGAN as a FrameTokenizer.
+
+    Mirrors the reference loader (sparse_diffusion_sber.py:23-49): OmegaConf
+    yaml + torch checkpoint; requires the optional `taming` and `omegaconf`
+    packages (fails with a clear message otherwise).
+    """
+
+    def __init__(self, config_path: str, ckpt_path: str):
+        try:
+            import torch
+            from omegaconf import OmegaConf
+            from taming.models.vqgan import GumbelVQ
+        except ImportError as e:
+            raise ImportError(
+                "TamingGumbelVQAdapter needs the optional 'taming-transformers'"
+                f" and 'omegaconf' packages: {e}"
+            ) from e
+
+        self._torch = torch
+        config = OmegaConf.load(config_path)
+        model = GumbelVQ(**config.model.params)
+        sd = torch.load(ckpt_path, map_location="cpu")["state_dict"]
+        model.load_state_dict(sd, strict=False)
+        self._model = model.eval()
+        self.num_embeddings = config.model.params.n_embed
+        self._z_channels = config.model.params.ddconfig.z_channels
+
+    def encode(self, images: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        with torch.no_grad():
+            # [0,1] NHWC -> [-1,1] NCHW (sparse_diffusion_sber.py:52-55)
+            x = torch.from_numpy(np.asarray(images, np.float32))
+            x = x.permute(0, 3, 1, 2) * 2.0 - 1.0
+            _, _, (_, _, indices) = self._model.encode(x)
+            b = x.shape[0]
+            hw = int(np.sqrt(indices.numel() // b))
+            return indices.view(b, hw, hw).cpu().numpy()
+
+    def decode(self, tokens: np.ndarray) -> np.ndarray:
+        torch = self._torch
+        with torch.no_grad():
+            t = torch.from_numpy(np.asarray(tokens, np.int64))
+            b, h, w = t.shape
+            # get_codebook_entry wants (B, H, W, C) shape spec
+            # (sparse_diffusion_sber.py:162-164)
+            z = self._model.quantize.get_codebook_entry(
+                t.reshape(-1), (b, h, w, self._z_channels)
+            )
+            img = self._model.decode(z)
+            img = (img + 1.0) * 0.5  # [-1,1] -> [0,1] (:57-60)
+            return img.clamp(0, 1).permute(0, 2, 3, 1).cpu().numpy()
+
+
+def make_tokenizer(spec: str) -> FrameTokenizer:
+    """Tokenizer factory.
+
+    `spec` forms:
+      - ``native:<checkpoint-dir>`` — in-repo VQAutoEncoder checkpoint
+      - ``taming:<config.yaml>,<model.ckpt>`` — Sber/taming GumbelVQ
+    """
+    kind, _, rest = spec.partition(":")
+    if kind == "native":
+        from world_modelz_tpu.cli.train_vqae import load_tokenizer
+
+        tok, state, _ = load_tokenizer(rest)
+        return NativeTokenizer(tok, state)
+    if kind == "taming":
+        config_path, _, ckpt_path = rest.partition(",")
+        return TamingGumbelVQAdapter(config_path, ckpt_path)
+    raise ValueError(f"unknown tokenizer spec {spec!r}")

@@ -40,6 +40,7 @@ class VqVideoDiffusionModel(nn.Module):
     heads: int = 1
     dropout: float = 0.0
     use_checkpointing: bool = True
+    backend: str = "xla"  # attention backend: "xla" | "pallas"
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -54,6 +55,7 @@ class VqVideoDiffusionModel(nn.Module):
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
             use_checkpointing=self.use_checkpointing,
+            backend=self.backend,
             name="transformer",
         )(tokens, train=train)
         last_frames = x[:, -1]  # (B, H, W, dim) (main2.py:36)

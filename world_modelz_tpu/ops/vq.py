@@ -247,6 +247,22 @@ def vq_apply(
     return out, new_state
 
 
+def vq_decode_masked(
+    state: VQState, indices: jnp.ndarray, mask_token: int
+) -> jnp.ndarray:
+    """Decode with a virtual all-zeros mask-token embedding.
+
+    The masked-denoise prototype appends a zero vector to the codebook so the
+    mask token decodes to 0 (`add_zero_mask_token`,
+    masked_denoise_prototype/vectorquantizer.py:24-28); here the codebook
+    stays untouched and masked positions are zeroed after the lookup.
+    """
+    decoded = vq_decode(state, indices)
+    return jnp.where(
+        (indices == mask_token)[..., None], 0.0, decoded
+    )
+
+
 def vq_reuse_inactive(state: VQState) -> Tuple[VQState, jnp.ndarray]:
     """Move codes with zero activity toward the most active codes.
 
