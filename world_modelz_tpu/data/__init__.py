@@ -9,6 +9,7 @@ queue — SURVEY.md §5 'race detection').
 from world_modelz_tpu.data.moving_mnist import MovingMNIST
 from world_modelz_tpu.data.trajectory import (
     BufferedTrajectorySampler,
+    SyncTrajectorySampler,
     SyntheticTrajectorySource,
 )
 from world_modelz_tpu.data.images import FileListImageDataset, load_file_list
@@ -17,6 +18,7 @@ from world_modelz_tpu.data.prefetch import PrefetchIterator
 __all__ = [
     "MovingMNIST",
     "BufferedTrajectorySampler",
+    "SyncTrajectorySampler",
     "SyntheticTrajectorySource",
     "FileListImageDataset",
     "load_file_list",

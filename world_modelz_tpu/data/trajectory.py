@@ -127,6 +127,57 @@ class _Buffer:
         self.example_offsets = example_offsets
 
 
+class SyncTrajectorySampler:
+    """Synchronous (no background thread) variant of the buffered sampler.
+
+    Parity with the in-line refill sampler of minecraft/sample_frames.py:
+    49-143 — `sample_batch` blocks and rebuilds the buffer when exhausted.
+    Useful for deterministic debugging and one-shot ETL jobs.
+    """
+
+    def __init__(
+        self,
+        source: TrajectorySource,
+        buffer_size: int = 100_000,
+        max_segment_length: int = 1000,
+        traj_len: int = 16,
+        skip_frames: int = 2,
+        seed: int = 0,
+        sample_divisor: int = 8,
+    ):
+        # reuse the buffered sampler's buffer builder without its thread
+        self._inner = BufferedTrajectorySampler.__new__(
+            BufferedTrajectorySampler
+        )
+        self._inner.source = source
+        self._inner.buffer_size = buffer_size
+        self._inner.max_segment_length = max_segment_length
+        self._inner.traj_len = traj_len
+        self._inner.skip_frames = skip_frames
+        self._inner.sample_divisor = sample_divisor
+        self._inner._stop = threading.Event()
+        self._rng = np.random.default_rng(seed)
+        self.traj_len = traj_len
+        self._buffer: _Buffer | None = None
+        self._cursor = 0
+
+    def sample_batch(self, batch_size: int) -> np.ndarray:
+        out = None
+        for b in range(batch_size):
+            while self._buffer is None or self._cursor >= len(
+                self._buffer.example_offsets
+            ):
+                self._buffer = self._inner._build_buffer(self._rng)
+                self._cursor = 0
+            seg_idx, off = self._buffer.example_offsets[self._cursor]
+            self._cursor += 1
+            clip = self._buffer.segments[seg_idx][off : off + self.traj_len]
+            if out is None:
+                out = np.empty((batch_size,) + clip.shape, dtype=clip.dtype)
+            out[b] = clip
+        return out
+
+
 class BufferedTrajectorySampler:
     """Double-buffered batch sampler over a TrajectorySource.
 

@@ -1,0 +1,56 @@
+"""Tracing / profiling helpers (SURVEY.md §5 'tracing').
+
+The reference's only perf instrumentation is the Triton harness's wall-clock
+timing (local_3d_attention_triton1.py:283-313). Here:
+
+- :func:`trace` wraps a code region in a `jax.profiler` trace whose output
+  loads in TensorBoard/XProf (per-op TPU timing, HBM usage);
+- :func:`benchmark_fn` is the timed-loop harness used by the kernel and
+  tokenizer benchmarks (block_until_ready around compiled calls);
+- :func:`count_parameters` mirrors the reference helper
+  (train_vqae.py:240-242) for pytrees.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any, Callable, Tuple
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """Profile a region: `with trace('outputs/trace'): step(...)`."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def benchmark_fn(
+    fn: Callable[..., Any],
+    *args: Any,
+    iters: int = 20,
+    warmup: int = 1,
+) -> Tuple[float, Any]:
+    """Mean seconds per call of a (jitted) function, compile excluded."""
+    out = None
+    for _ in range(max(warmup, 1)):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters, out
+
+
+def count_parameters(tree: Any, verbose: bool = True) -> int:
+    """Total leaf elements of a parameter pytree (train_vqae.py:240-242)."""
+    n = sum(x.size for x in jax.tree_util.tree_leaves(tree))
+    if verbose:
+        print(f"Number of parameters: {n}")
+    return n
