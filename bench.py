@@ -5,28 +5,35 @@ Baseline target (BASELINE.md): >= 10,000 frames/sec/chip on TPU for the
 reference-scale tokenizer (embedding_dim 64, 512 codes, 3 downscale steps,
 hidden 128 — minecraft/train_vqae.py:83-86 defaults) on 64x64 RGB frames.
 
-The hot path runs in bfloat16 (MXU-native) with the batch resident on
-device; throughput counts a full encode (image -> int tokens) plus decode
-(tokens -> image) per frame.
+Methodology (important on relayed/remote TPU backends, where
+`block_until_ready` can return at enqueue time and naive timing measures RPC
+dispatch, not compute): each measurement is a single jitted program running a
+`lax.scan` of chained encode+decode roundtrips (serial data dependence) that
+ends in a scalar reduction whose VALUE is read back to the host — the bytes
+cannot arrive before the compute finishes. Two scan lengths are timed and
+differenced, cancelling the constant RPC/readback overhead. Compute runs in
+bfloat16 (MXU-native).
 """
 
+import functools
 import json
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+BATCH = 256
+IMG = 64
+ITERS_SHORT = 10
+ITERS_LONG = 40
+TRIALS = 3
 
 
 def main():
     from world_modelz_tpu.models import VQAutoEncoder
 
     backend = jax.default_backend()
-    batch = 256
-    img = 64
-    iters = 20
-
     tok = VQAutoEncoder(
         embedding_dim=64,
         num_embeddings=512,
@@ -35,10 +42,7 @@ def main():
         in_channels=3,
     )
     key = jax.random.PRNGKey(0)
-    state = tok.init(key, jnp.zeros((1, img, img, 3)))
-
-    # bfloat16 compute for the conv stacks: cast params + inputs; the VQ
-    # argmin runs in f32 (distances accumulate in f32 either way)
+    state = tok.init(key, jnp.zeros((1, IMG, IMG, 3)))
     state = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
@@ -46,27 +50,37 @@ def main():
         state,
     )
 
-    @jax.jit
-    def tokenize_roundtrip(state, frames):
-        tokens = tok.encode(state, frames)
-        recon = tok.decode(state, tokens)
-        return tokens, recon
+    @functools.partial(jax.jit, static_argnames="iters")
+    def chained_sum(state, frames, iters):
+        def body(x, _):
+            return tok.decode(state, tok.encode(state, x)), ()
 
-    frames = jax.device_put(
-        jax.random.uniform(key, (batch, img, img, 3), jnp.bfloat16)
-    )
+        final, _ = jax.lax.scan(body, frames, None, length=iters)
+        return jnp.sum(final.astype(jnp.float32))
 
-    # warmup / compile
-    tokens, recon = tokenize_roundtrip(state, frames)
-    jax.block_until_ready((tokens, recon))
+    def measure(iters):
+        nonlocal key
+        key, k = jax.random.split(key)
+        frames = jax.device_put(
+            jax.random.uniform(k, (BATCH, IMG, IMG, 3), jnp.bfloat16)
+        )
+        float(chained_sum(state, frames, iters))  # compile + warm
+        best = float("inf")
+        for _ in range(TRIALS):
+            key, k = jax.random.split(key)
+            frames = jax.device_put(
+                jax.random.uniform(k, (BATCH, IMG, IMG, 3), jnp.bfloat16)
+            )
+            t0 = time.perf_counter()
+            float(chained_sum(state, frames, iters))  # value readback
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        tokens, recon = tokenize_roundtrip(state, frames)
-    jax.block_until_ready((tokens, recon))
-    dt = time.perf_counter() - t0
+    t_short = measure(ITERS_SHORT)
+    t_long = measure(ITERS_LONG)
+    per_iter = (t_long - t_short) / (ITERS_LONG - ITERS_SHORT)
 
-    fps = batch * iters / dt
+    fps = BATCH / per_iter
     result = {
         "metric": "vqae_tokenize_frames_per_sec",
         "value": round(fps, 1),
