@@ -1,0 +1,125 @@
+"""CLI smoke tests: each trainer runs a few steps end-to-end on CPU and
+produces its artifacts. Marked slow (several minutes total)."""
+
+import os
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def tokenizer_ckpt(tmp_path_factory):
+    from world_modelz_tpu.cli.train_vqae import TrainVqaeConfig, train
+
+    out = str(tmp_path_factory.mktemp("tok"))
+    cfg = TrainVqaeConfig(
+        batch_size=8, image_size=32, max_steps=12, downscale_steps=2,
+        embedding_dim=8, hidden_planes=16, num_embeddings=32,
+        checkpoint_interval=12, vq_reuse_interval=6, log_interval=6,
+        output_dir=out, name="t",
+    )
+    _state, info = train(cfg)
+    return info["checkpoint"]
+
+
+def test_train_vqae_and_rehydrate(tokenizer_ckpt):
+    import jax
+    import jax.numpy as jnp
+
+    from world_modelz_tpu.cli.train_vqae import load_tokenizer
+
+    tok, state, config = load_tokenizer(tokenizer_ckpt)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+    z = tok.encode(state, x)
+    assert z.shape == (2, 8, 8)
+    assert bool(jnp.isfinite(tok.decode(state, z)).all())
+    assert config["num_embeddings"] == 32
+
+
+def test_video_diffusion_cli(tokenizer_ckpt, tmp_path):
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = VideoDiffusionConfig(
+        dataset="synthetic", decoder_model=tokenizer_ckpt,
+        batch_size=8, n_past=2, image_size=32, max_steps=6, warmup=2,
+        dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16, dim_head=8,
+        heads=2, eval_interval=6, eval_timesteps=1, eval_batch_size=2,
+        num_eval_iterations=2, checkpoint_interval=6, log_interval=3,
+        buffer_size=150, output_dir=out, name="vd",
+    )
+    train(cfg)
+    files = os.listdir(out)
+    assert any(f.startswith("step_") for f in files)
+    assert any(f.endswith("_base.png") for f in files)
+    assert any(f.endswith("_base.gif") for f in files)
+
+
+def test_sparse_diffusion_cli(tokenizer_ckpt, tmp_path):
+    from world_modelz_tpu.cli.sparse_diffusion import (
+        SparseDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = SparseDiffusionConfig(
+        decoder_model=tokenizer_ckpt, batch_size=2, eval_batch_size=1,
+        max_steps=4, warmup=2, S=4, H=8, W=8, image_size=32,
+        num_context=16, dim=16, mlp_dim=16, heads=2, depth=1,
+        eval_interval=4, num_eval_iterations=2, checkpoint_interval=0,
+        buffer_size=120, max_segment_length=60, log_interval=2,
+        output_dir=out, name="sd",
+    )
+    train(cfg)
+    assert any(
+        f.endswith("_base.png") for f in os.listdir(out)
+    )
+
+
+def test_sample_frames_and_make_gif(tmp_path):
+    from world_modelz_tpu.cli.make_gif import MakeGifConfig, run as run_gif
+    from world_modelz_tpu.cli.sample_frames import (
+        SampleFramesConfig,
+        run as run_etl,
+    )
+
+    out = str(tmp_path / "frames")
+    manifest = run_etl(
+        SampleFramesConfig(
+            output_dir=out, max_trajectories=1, skip_frames_min=20,
+            skip_frames_max=30,
+        )
+    )
+    assert len(manifest) > 3
+    assert all(os.path.isfile(f) for f in manifest[:3])
+
+    gif = run_gif(
+        MakeGifConfig(
+            pattern=os.path.join(os.path.dirname(manifest[0]), "*.png"),
+            output=str(tmp_path / "out.gif"),
+        )
+    )
+    assert os.path.getsize(gif) > 0
+
+
+def test_masked_denoise_cli(tmp_path):
+    from world_modelz_tpu.cli.masked_denoise import (
+        MaskedDenoiseConfig,
+        train,
+    )
+
+    cfg = MaskedDenoiseConfig(
+        batch_size=4, image_size=32, level=3, d_model=32, depth=1,
+        codebook_size=16, vq_steps=5, max_steps=5, eval_interval=5,
+        eval_batch_size=2, num_eval_iterations=2, checkpoint_interval=0,
+        log_interval=5, output_dir=str(tmp_path), name="md",
+    )
+    train(cfg)
+    assert any(
+        f.endswith(".png") for f in os.listdir(tmp_path)
+    )

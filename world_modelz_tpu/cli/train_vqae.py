@@ -162,6 +162,12 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
     mesh = make_mesh(n_model=cfg.n_model)
+    n_data = mesh.shape["data"]
+    if cfg.batch_size % n_data != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by the "
+            f"data-parallel axis ({n_data} devices)"
+        )
     tok = make_tokenizer(cfg)
     recon_loss = _loss_fn(cfg.loss_fn)
 

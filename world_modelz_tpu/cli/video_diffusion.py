@@ -249,6 +249,12 @@ def train(cfg: VideoDiffusionConfig):
     if not cfg.decoder_model:
         raise ValueError("--decoder_model (tokenizer checkpoint) is required")
     mesh = make_mesh(n_model=cfg.n_model)
+    n_data = mesh.shape["data"]
+    if cfg.batch_size % n_data != 0:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must be divisible by the "
+            f"data-parallel axis ({n_data} devices)"
+        )
 
     tok, tok_state, tok_cfg = load_tokenizer(cfg.decoder_model)
     num_embeddings = tok.num_embeddings

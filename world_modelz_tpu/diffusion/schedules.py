@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 
 def _cos(r: jnp.ndarray) -> jnp.ndarray:
-    return jnp.cos((r + 0.01) / 1.01 * math.pi * 0.5)
+    # clamp at 0: f32 cos(pi/2) can be slightly negative, which NaNs the
+    # fractional powers (cos05) — a latent bug in the reference's torch
+    # version too (masked_denoise_prototype/main.py:330)
+    return jnp.maximum(jnp.cos((r + 0.01) / 1.01 * math.pi * 0.5), 0.0)
 
 
 _SCHEDULES: dict = {
