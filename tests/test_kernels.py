@@ -73,6 +73,29 @@ def test_local3d_kernel_asymmetric_extents(rng):
     )
 
 
+def test_local3d_kernel_gradients_multihead_asymmetric(rng):
+    extents, heads = (2, 1, 0), 2
+    b, s, h, w, inner = 2, 5, 3, 4, 8
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        out = local3d_attention(q, k, v, extents, heads)
+        return jnp.sum(out**2) + jnp.sum(out)
+
+    def loss_pallas(q, k, v):
+        out = local3d_attention_pallas(q, k, v, extents, heads, True)
+        return jnp.sum(out**2) + jnp.sum(out)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pal = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )
+
+
 def test_local3d_kernel_gradients_match_xla(rng):
     extents, heads = (1, 1, 1), 1
     b, s, h, w, inner = 1, 3, 3, 3, 8

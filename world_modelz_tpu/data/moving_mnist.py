@@ -138,54 +138,64 @@ class MovingMNIST:
     def __len__(self) -> int:
         return self.length
 
-    def __getitem__(self, index: int) -> np.ndarray:
-        rng = np.random.default_rng(index)
+    def _digit_track(
+        self, rng: np.random.Generator
+    ) -> tuple:
+        """Bounce-dynamics integration (moving_mnist.py:59-88): returns the
+        sprite and its (seq_len, 2) (y, x) positions. Control flow stays in
+        Python; the O(T*K^2) compositing runs in the native kernel."""
         size, digit_size = self.image_size, self.digit_size
         lo, hi = -self.max_velocity, self.max_velocity + 1
+        digit = self.bank[rng.integers(len(self.bank))]
+        sx = int(rng.integers(size - digit_size))
+        sy = int(rng.integers(size - digit_size))
+        dx = int(rng.integers(lo, hi))
+        dy = int(rng.integers(lo, hi))
+        pos = np.empty((self.seq_len, 2), np.int32)
+        for t in range(self.seq_len):
+            if sy < 0:
+                sy = 0
+                if self.deterministic:
+                    dy = -dy
+                else:
+                    dy = int(rng.integers(1, hi))
+                    dx = int(rng.integers(lo, hi))
+            elif sy >= size - digit_size:
+                sy = size - digit_size - 1
+                if self.deterministic:
+                    dy = -dy
+                else:
+                    dy = int(rng.integers(lo, 0))
+                    dx = int(rng.integers(lo, hi))
+            if sx < 0:
+                sx = 0
+                if self.deterministic:
+                    dx = -dx
+                else:
+                    dx = int(rng.integers(1, hi))
+                    dy = int(rng.integers(lo, hi))
+            elif sx >= size - digit_size:
+                sx = size - digit_size - 1
+                if self.deterministic:
+                    dx = -dx
+                else:
+                    dx = int(rng.integers(lo, 0))
+                    dy = int(rng.integers(lo, hi))
+            pos[t] = (sy, sx)
+            sy += dy
+            sx += dx
+        return digit, pos
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        from world_modelz_tpu.data import native
+
+        rng = np.random.default_rng(index)
+        size = self.image_size
         x = np.zeros((self.seq_len, size, size, 1), np.float32)
-
         for _ in range(self.num_digits):
-            digit = self.bank[rng.integers(len(self.bank))]
-            sx = int(rng.integers(size - digit_size))
-            sy = int(rng.integers(size - digit_size))
-            dx = int(rng.integers(lo, hi))
-            dy = int(rng.integers(lo, hi))
-            for t in range(self.seq_len):
-                # bounce dynamics (moving_mnist.py:59-88)
-                if sy < 0:
-                    sy = 0
-                    if self.deterministic:
-                        dy = -dy
-                    else:
-                        dy = int(rng.integers(1, hi))
-                        dx = int(rng.integers(lo, hi))
-                elif sy >= size - digit_size:
-                    sy = size - digit_size - 1
-                    if self.deterministic:
-                        dy = -dy
-                    else:
-                        dy = int(rng.integers(lo, 0))
-                        dx = int(rng.integers(lo, hi))
-                if sx < 0:
-                    sx = 0
-                    if self.deterministic:
-                        dx = -dx
-                    else:
-                        dx = int(rng.integers(1, hi))
-                        dy = int(rng.integers(lo, hi))
-                elif sx >= size - digit_size:
-                    sx = size - digit_size - 1
-                    if self.deterministic:
-                        dx = -dx
-                    else:
-                        dx = int(rng.integers(lo, 0))
-                        dy = int(rng.integers(lo, hi))
-
-                x[t, sy : sy + digit_size, sx : sx + digit_size, 0] += digit
-                sy += dy
-                sx += dx
-
-        np.clip(x, 0.0, 1.0, out=x)
+            digit, pos = self._digit_track(rng)
+            native.composite_sprite(x[..., 0], digit, pos)
+        native.clamp01(x)
         return x
 
     def sample_batch(self, rng: np.random.Generator, batch_size: int) -> np.ndarray:

@@ -57,6 +57,8 @@ class SyntheticTrajectorySource:
         return [f"synthetic-{i:04d}" for i in range(self.num_trajectories)]
 
     def load_frames(self, name: str) -> Iterator[np.ndarray]:
+        from world_modelz_tpu.data import native
+
         idx = int(name.rsplit("-", 1)[1])
         rng = np.random.default_rng(self.seed * 10007 + idx)
         s = self.frame_size
@@ -69,20 +71,27 @@ class SyntheticTrajectorySource:
         colors = rng.uniform(80, 255, (n_obj, 3))
         sizes = rng.integers(6, 14, n_obj)
 
+        # integrate object motion in Python (cheap scalar work); the
+        # per-pixel rendering runs in the native kernel
+        shifts = np.empty((self.traj_frames,), np.int32)
+        rects = np.empty((self.traj_frames, n_obj, 6), np.float32)
         for t in range(self.traj_frames):
-            shift = int(t * 1.5) % s
-            frame = np.roll(bg, -shift, axis=1)[:, :s].copy()
+            shifts[t] = int(t * 1.5) % s
             for i in range(n_obj):
                 y, x = pos[i]
                 k = int(sizes[i])
-                y0, x0 = int(np.clip(y, 0, s - k)), int(np.clip(x, 0, s - k))
-                frame[y0 : y0 + k, x0 : x0 + k] = colors[i]
+                y0 = int(np.clip(y, 0, s - k))
+                x0 = int(np.clip(x, 0, s - k))
+                rects[t, i] = (y0, x0, k, *colors[i])
                 pos[i] += vel[i]
                 for d in range(2):
                     if pos[i, d] < 0 or pos[i, d] > s - k:
                         vel[i, d] = -vel[i, d]
                         pos[i, d] = np.clip(pos[i, d], 0, s - k)
-            yield np.clip(frame, 0, 255).astype(np.uint8)
+
+        out = np.empty((self.traj_frames, s, s, 3), np.uint8)
+        native.render_trajectory(out, np.clip(bg, 0, 255), shifts, rects)
+        yield from out
 
 
 class MineRLTrajectorySource:

@@ -17,10 +17,13 @@ softmaxes, and multiplies back down to the (HW, dh) output. The score matrix
 lives only in VMEM, flash-attention style; the XLA path materializes it in
 HBM (~59 MB per head per clip at minecraft scale S=32, HW=256, Ts=7).
 
-Backward: `jax.custom_vjp` recomputes gradients through the XLA reference
-implementation (rematerialization — the same trade the reference makes with
-`torch.utils.checkpoint`, local_3d_attention.py:110-113). A hand-written
-backward kernel is a later optimization; the contract and tests won't change.
+Backward: a hand-written flash-style Pallas kernel (`_bwd_kernel`) that
+recomputes the score matrix in VMEM (rematerialization — the same trade the
+reference makes with `torch.utils.checkpoint`,
+local_3d_attention.py:110-113), produces dQ directly, and emits per-offset
+partial dK/dV slabs that a cheap diagonal shift-sum on the host side folds
+into the overlapping key frames — no cross-program write races, nothing but
+the inputs and gradients ever touches HBM.
 """
 
 from __future__ import annotations
@@ -167,20 +170,164 @@ def local3d_attention_pallas(
     return _fwd_impl(q, k, v, extents, heads, interpret)
 
 
+def _mask_block(seq, height, width, extents, s):
+    """(HW, Ts*HW) bool valid-mask for query frame s (in-register)."""
+    es, eh, ew = extents
+    hw = height * width
+    ts = 2 * es + 1
+    qi = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 1)
+    hq, wq = qi // width, qi % width
+    ds = kj // hw
+    rem = kj % hw
+    hk, wk = rem // width, rem % width
+    frame = s + ds - es
+    return (
+        (jnp.abs(hq - hk) <= eh)
+        & (jnp.abs(wq - wk) <= ew)
+        & (frame >= 0)
+        & (frame < seq)
+    )
+
+
+def _bwd_kernel(
+    *refs, seq: int, height: int, width: int,
+    extents: Tuple[int, int, int], dh: int
+):
+    """Recompute attention for one (z, s) and emit dQ plus per-offset
+    partial dK/dV slabs."""
+    es, eh, ew = extents
+    hw = height * width
+    ts = 2 * es + 1
+    s = pl.program_id(1)
+
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + ts]
+    v_refs = refs[1 + ts : 1 + 2 * ts]
+    g_ref = refs[1 + 2 * ts]
+    dq_ref = refs[2 + 2 * ts]
+    dk_ref = refs[3 + 2 * ts]
+    dv_ref = refs[4 + 2 * ts]
+
+    q = q_ref[0, 0].astype(jnp.float32)  # (HW, dh)
+    k = jnp.concatenate(
+        [r[0, 0].astype(jnp.float32) for r in k_refs], axis=0
+    )  # (Ts*HW, dh)
+    v = jnp.concatenate(
+        [r[0, 0].astype(jnp.float32) for r in v_refs], axis=0
+    )
+    g = g_ref[0, 0].astype(jnp.float32)  # (HW, dh) upstream gradient
+
+    scale = dh**-0.5
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    ok = _mask_block(seq, height, width, extents, s)
+    scores = jnp.where(ok, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    attn = p / jnp.sum(p, axis=-1, keepdims=True)  # (HW, Ts*HW)
+
+    # softmax backward: dS = P * (dP - rowsum(dP * P))
+    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    row = jnp.sum(dp * attn, axis=-1, keepdims=True)
+    dscores = attn * (dp - row)  # (HW, Ts*HW), zero where masked
+
+    dq_ref[0, 0] = (
+        jnp.dot(dscores, k, preferred_element_type=jnp.float32) * scale
+    ).astype(dq_ref.dtype)
+    dk_cat = (
+        jnp.dot(dscores.T, q, preferred_element_type=jnp.float32) * scale
+    )  # (Ts*HW, dh)
+    dv_cat = jnp.dot(
+        attn.T, g, preferred_element_type=jnp.float32
+    )  # (Ts*HW, dh)
+    dk_ref[0, 0] = dk_cat.reshape(ts, hw, dh).astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv_cat.reshape(ts, hw, dh).astype(dv_ref.dtype)
+
+
+def _bwd_impl(q, k, v, g, extents, heads, interpret):
+    es, eh, ew = extents
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    hw = h * w
+    ts = 2 * es + 1
+
+    def to_zs(t):
+        t = t.reshape(b, s, hw, heads, dh)
+        return t.transpose(0, 3, 1, 2, 4).reshape(b * heads, s, hw, dh)
+
+    qz, kz, vz, gz = to_zs(q), to_zs(k), to_zs(v), to_zs(g)
+    kz_p = jnp.pad(kz, ((0, 0), (es, es), (0, 0), (0, 0)))
+    vz_p = jnp.pad(vz, ((0, 0), (es, es), (0, 0), (0, 0)))
+
+    def frame_spec(ds):
+        return pl.BlockSpec(
+            (1, 1, hw, dh),
+            lambda z, i, ds=ds: (z, i + ds, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    q_spec = pl.BlockSpec(
+        (1, 1, hw, dh), lambda z, i: (z, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    slab_spec = pl.BlockSpec(
+        (1, 1, ts, hw, dh),
+        lambda z, i: (z, i, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _bwd_kernel, seq=s, height=h, width=w, extents=extents, dh=dh
+    )
+    dq, dk_part, dv_part = pl.pallas_call(
+        kernel,
+        grid=(b * heads, s),
+        in_specs=[q_spec]
+        + [frame_spec(ds) for ds in range(ts)]
+        + [frame_spec(ds) for ds in range(ts)]
+        + [q_spec],
+        out_specs=[
+            q_spec,
+            slab_spec,
+            slab_spec,
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
+            jax.ShapeDtypeStruct((b * heads, s, ts, hw, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * heads, s, ts, hw, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qz, *([kz_p] * ts), *([vz_p] * ts), gz)
+
+    # fold partial slabs into key frames: slab[z, sq, d] is the gradient
+    # contribution to padded key frame sq + d, i.e. true frame sq + d - es.
+    # dk[t] = sum_j pad(slab)[t + j, ts-1-j]  (diagonal shift-sum)
+    def fold(slab):
+        padded = jnp.pad(slab, ((0, 0), (es, es), (0, 0), (0, 0), (0, 0)))
+        total = jnp.zeros((b * heads, s, hw, dh), jnp.float32)
+        for j in range(ts):
+            total = total + padded[:, j : j + s, ts - 1 - j]
+        return total
+
+    dkz = fold(dk_part).astype(k.dtype)
+    dvz = fold(dv_part).astype(v.dtype)
+
+    def from_zs(t):
+        return (
+            t.reshape(b, heads, s, hw, dh)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(b, s, h, w, inner)
+        )
+
+    return from_zs(dq), from_zs(dkz), from_zs(dvz)
+
+
 def _fwd(q, k, v, extents, heads, interpret):
     return _fwd_impl(q, k, v, extents, heads, interpret), (q, k, v)
 
 
 def _bwd(extents, heads, interpret, residuals, g):
-    # rematerialized backward through the XLA reference (one recompute; the
-    # reference checkpoints this block for the same reason)
-    from world_modelz_tpu.models.attention import local3d_attention
-
     q, k, v = residuals
-    _, vjp = jax.vjp(
-        lambda q, k, v: local3d_attention(q, k, v, extents, heads), q, k, v
-    )
-    return vjp(g)
+    return _bwd_impl(q, k, v, g, extents, heads, interpret)
 
 
 local3d_attention_pallas.defvjp(_fwd, _bwd)

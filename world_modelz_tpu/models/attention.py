@@ -261,7 +261,8 @@ class Local3dAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     use_checkpointing: bool = True
-    backend: str = "xla"  # "xla" | "pallas" (fused kernel, kernels/local3d)
+    # "auto" = fused Pallas kernel on TPU, XLA elsewhere; or force either
+    backend: str = "auto"
 
     @nn.compact
     def __call__(
@@ -277,7 +278,12 @@ class Local3dAttention(nn.Module):
         v = nn.Dense(inner, use_bias=True, name="to_v")(x)
         qp = nn.Dense(inner, use_bias=False, name="to_q")(q)
 
-        if self.backend == "pallas":
+        backend = self.backend
+        if backend == "auto":
+            backend = (
+                "pallas" if jax.default_backend() == "tpu" else "xla"
+            )
+        if backend == "pallas":
             from world_modelz_tpu.kernels.local3d import (
                 local3d_attention_pallas,
             )
@@ -318,7 +324,7 @@ class Local3dAttentionTransformer(nn.Module):
     mlp_dim: int
     dropout: float = 0.0
     use_checkpointing: bool = True
-    backend: str = "xla"
+    backend: str = "auto"
 
     def get_pos_embedding(
         self, s: int, h: int, w: int

@@ -40,7 +40,7 @@ class VqVideoDiffusionModel(nn.Module):
     heads: int = 1
     dropout: float = 0.0
     use_checkpointing: bool = True
-    backend: str = "xla"  # attention backend: "xla" | "pallas"
+    backend: str = "auto"  # attention backend: "auto" | "xla" | "pallas"
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
