@@ -41,6 +41,7 @@ class RolloutConfig:
     checkpoint: str = ""  # video-diffusion checkpoint (required)
     platform: str = ""
     use_ema: bool = False
+    shard_batch: bool = False  # data-parallel rollout over all devices
     batch_size: int = 4
     num_frames: int = 16
     num_eval_iterations: int = 30
@@ -71,6 +72,20 @@ def run(cfg: RolloutConfig):
 
     model = make_model(train_cfg, token_shape, tok.num_embeddings)
     logits_fn = lambda z: model.apply({"params": params}, z)
+
+    if cfg.shard_batch:
+        # data-parallel generation: shard the clip batch over all devices;
+        # the scanned denoise loop shards with it under jit
+        from world_modelz_tpu.parallel import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh()
+        if cfg.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must be divisible by "
+                f"{mesh.shape['data']} devices"
+            )
+        tokens = jax.device_put(tokens, batch_sharding(mesh))
+        params = jax.device_put(params, replicated(mesh))
 
     gen = rollout_frames(
         jax.random.PRNGKey(cfg.manual_seed),

@@ -100,7 +100,10 @@ def upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
     """Bilinear 2x upsample, half-pixel centers.
 
     Matches torch F.interpolate(scale_factor=2, mode='bilinear',
-    align_corners=False) (autoencoder.py:138).
+    align_corners=False) (autoencoder.py:138). Note: a hand-rolled separable
+    2-tap stencil (pad/slice/interleave) was measured 40% SLOWER end-to-end
+    on TPU than XLA's resize — the interleaving reshape forces layout
+    changes; XLA's gather-based lowering wins. Keep the library op.
     """
     b, h, w, c = x.shape
     return jax.image.resize(x, (b, h * 2, w * 2, c), method="bilinear")

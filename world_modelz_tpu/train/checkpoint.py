@@ -23,8 +23,14 @@ def save_checkpoint(
     step: int,
     state: Any,
     config: Optional[Dict[str, Any]] = None,
+    keep: int = 0,
 ) -> str:
-    """Write `state` (any pytree) + `config` under `directory/step_XXXXXXX`."""
+    """Write `state` (any pytree) + `config` under `directory/step_XXXXXXX`.
+
+    With `keep` > 0, older step directories beyond the newest `keep` are
+    deleted after a successful save (retention the reference lacked — its
+    runs accumulated every 25k-step .pth file).
+    """
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     path = os.path.join(directory, f"step_{step:07d}")
@@ -32,6 +38,14 @@ def save_checkpoint(
     ckptr.save(path, jax.device_get(state), force=True)
     with open(os.path.join(path, "wmz_config.json"), "w") as f:
         json.dump({"step": step, "config": config or {}}, f, indent=2)
+    if keep > 0:
+        import shutil
+
+        steps = sorted(
+            d for d in os.listdir(directory) if d.startswith("step_")
+        )
+        for old in steps[:-keep]:
+            shutil.rmtree(os.path.join(directory, old), ignore_errors=True)
     return path
 
 
