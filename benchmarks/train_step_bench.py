@@ -20,7 +20,7 @@ B, S, H, W = 8, 6, 16, 16
 K = 512
 
 
-def bench(backend: str):
+def bench(backend: str, bf16: bool = False):
     model = VqVideoDiffusionModel(
         data_shape=(S, H, W),
         dim=384,
@@ -45,7 +45,14 @@ def bench(backend: str):
         params, opt_state = carry
 
         def loss_fn(p):
-            logits = model.apply({"params": p}, tokens)
+            if bf16:
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32
+                    else x,
+                    p,
+                )
+            logits = model.apply({"params": p}, tokens).astype(jnp.float32)
             return optax.softmax_cross_entropy_with_integer_labels(
                 logits.reshape(-1, K), target.reshape(-1)
             ).mean()
@@ -55,8 +62,9 @@ def bench(backend: str):
         return (optax.apply_updates(params, updates), new_opt)
 
     per_iter = benchmark_chained(train_step, (params, opt_state), 2, 8)
+    tag = backend + ("+bf16" if bf16 else "")
     print(
-        f"train step [{backend:6s}] dim=384 depth=20 b={B}: "
+        f"train step [{tag:11s}] dim=384 depth=20 b={B}: "
         f"{per_iter*1e3:.2f} ms/step -> {1/per_iter:.1f} steps/sec"
     )
     return per_iter
@@ -69,3 +77,5 @@ if __name__ == "__main__":
         bench("xla")
     if which in ("pallas", "both"):
         bench("pallas")
+    if which in ("bf16", "both"):
+        bench("pallas", bf16=True)

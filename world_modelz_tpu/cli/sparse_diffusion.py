@@ -79,6 +79,7 @@ class SparseDiffusionConfig:
     weight_decay: float = 1e-2
     optimizer: str = "AdamW"
     ema_decay: float = 0.0
+    bf16: bool = False  # bfloat16 compute with f32 master weights
 
     decoder_model: str = ""
     tokenizer: str = ""  # external tokenizer spec, e.g. "taming:<cfg>,<ckpt>"
@@ -267,7 +268,16 @@ def train(cfg: SparseDiffusionConfig):
         )
 
         def loss_fn(p):
-            logits = model.apply({"params": p}, corrupted, indices)
+            if cfg.bf16:
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32
+                    else x,
+                    p,
+                )
+            logits = model.apply(
+                {"params": p}, corrupted, indices
+            ).astype(jnp.float32)
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.reshape(-1, num_embeddings), target.reshape(-1)
             )

@@ -82,6 +82,7 @@ class VideoDiffusionConfig:
     optimizer: str = "AdamW"
     weight_decay: float = 1e-7
     ema_decay: float = 0.0
+    bf16: bool = False  # bfloat16 compute with f32 master weights
 
     dataset: str = "moving_mnist"  # moving_mnist|synthetic|minerl
     data_dir: str = ""
@@ -340,12 +341,20 @@ def train(cfg: VideoDiffusionConfig):
         batch_z = tokens.at[:, -1].set(corrupted.reshape(target.shape))
 
         def loss_fn(p):
+            if cfg.bf16:
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32
+                    else x,
+                    p,
+                )
             logits = model.apply(
                 {"params": p},
                 batch_z,
                 train=True,
                 rngs={"dropout": k_drop},
             )
+            logits = logits.astype(jnp.float32)
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.reshape(-1, num_embeddings), target.reshape(-1)
             )
