@@ -83,6 +83,7 @@ class VideoDiffusionConfig:
     weight_decay: float = 1e-7
     ema_decay: float = 0.0
     bf16: bool = False  # bfloat16 compute with f32 master weights
+    nan_guard: bool = True  # reject steps with non-finite loss/grads
 
     dataset: str = "moving_mnist"  # moving_mnist|synthetic|minerl
     data_dir: str = ""
@@ -363,13 +364,30 @@ def train(cfg: VideoDiffusionConfig):
         (loss, per_sample), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
-        sampler_state = loss_aware_update(sampler_state, r, per_sample)
         gn = optax.global_norm(grads)
+
+        old = (params, ema_params, opt_state, sampler_state)
+        per_sample = jnp.nan_to_num(per_sample)
+        sampler_state = loss_aware_update(sampler_state, r, per_sample)
+        grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if ema_params is not None:
             ema_params = ema_update(ema_params, params, cfg.ema_decay)
-        return params, ema_params, opt_state, sampler_state, loss, gn
+
+        # failure detection: on a non-finite loss/grad the whole step is
+        # rejected — params, EMA, optimizer and sampler stay untouched
+        # (train/guard.py semantics, automated vs the reference's manual
+        # restarts)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gn)
+        if cfg.nan_guard:
+            new = (params, ema_params, opt_state, sampler_state)
+            params, ema_params, opt_state, sampler_state = (
+                jax.tree_util.tree_map(
+                    lambda o, n: jnp.where(ok, n, o), old, new
+                )
+            )
+        return params, ema_params, opt_state, sampler_state, loss, gn, ok
 
     batches = PrefetchIterator(
         lambda: clip_fn(cfg.batch_size),
@@ -382,15 +400,19 @@ def train(cfg: VideoDiffusionConfig):
     )
 
     t0 = time.time()
+    rejected = 0
     try:
         for step in range(start_step + 1, cfg.max_steps + 1):
             frames = next(batches)
             key, sub = jax.random.split(key)
-            params, ema_params, opt_state, sampler_state, loss, gn = (
+            params, ema_params, opt_state, sampler_state, loss, gn, ok = (
                 train_step(
                     params, ema_params, opt_state, sampler_state, frames, sub
                 )
             )
+            if cfg.nan_guard and not bool(ok):
+                rejected += 1
+                print(f"{step}: step REJECTED (non-finite loss/grads)")
 
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 dt = time.time() - t0
