@@ -26,9 +26,8 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
-import time
 from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

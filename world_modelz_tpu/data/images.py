@@ -14,7 +14,6 @@ import glob
 import json
 import os
 import re
-import threading
 from typing import Callable, List, Optional, Sequence
 
 import numpy as np

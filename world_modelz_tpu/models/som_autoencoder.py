@@ -10,7 +10,7 @@ representation the som-diffusion DDPM is trained on).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ implementation used for its golden tests.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ sequential-EMA semantics of the reference loop are reproduced exactly with a
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import struct

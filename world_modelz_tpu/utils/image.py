@@ -8,7 +8,7 @@ Images are NHWC float in [0, 1] (grayscale NHW1 or RGB NHW3).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ All functions are jit-able jnp ops.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 
