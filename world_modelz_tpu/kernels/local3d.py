@@ -38,6 +38,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e9
 
+# leave headroom under the ~16 MiB/core VMEM for double buffering
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+
+
+def fits_vmem(
+    seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
+) -> bool:
+    """Whether one grid program's working set fits the VMEM budget.
+
+    Per program: q/dq (HW, dh), k/v/dk/dv blocks (Ts*HW, dh), and two
+    (HW, Ts*HW) f32 score-sized intermediates. Callers fall back to the XLA
+    path when this is False (e.g. 32x32 grids, where the score matrix alone
+    is ~29 MiB).
+    """
+    hw = height * width
+    ts = 2 * extents[0] + 1
+    score_bytes = hw * ts * hw * 4 * 2
+    kv_bytes = ts * hw * dh * 4 * 4
+    q_bytes = hw * dh * 4 * 2
+    return score_bytes + kv_bytes + q_bytes <= _VMEM_BUDGET_BYTES
+
 
 def _attn_kernel(
     *refs, seq: int, height: int, width: int,
