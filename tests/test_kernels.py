@@ -117,3 +117,30 @@ def test_local3d_kernel_gradients_match_xla(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
         )
+
+
+def test_vmem_guard_and_auto_fallback():
+    """Oversized grids: explicit pallas raises; auto falls back to XLA."""
+    import pytest
+
+    from world_modelz_tpu.kernels.local3d import fits_vmem
+    from world_modelz_tpu.models.attention import Local3dAttentionTransformer
+
+    assert fits_vmem(32, 16, 16, (3, 1, 1), 128)
+    assert not fits_vmem(32, 32, 32, (3, 1, 1), 128)
+
+    kw = dict(
+        data_shape=(2, 32, 32), dim=16, num_classes=8, extents=(3, 1, 1),
+        depth=1, heads=1, dim_head=128, mlp_dim=16,
+    )
+    tokens = jnp.zeros((1, 2, 32, 32), jnp.int32)
+    key = jax.random.PRNGKey(0)
+
+    with pytest.raises(ValueError, match="exceeds VMEM"):
+        Local3dAttentionTransformer(**kw, backend="pallas").init(key, tokens)
+
+    # auto: silently uses XLA, still works
+    m = Local3dAttentionTransformer(**kw, backend="auto")
+    p = m.init(key, tokens)
+    out = m.apply(p, tokens)
+    assert out.shape == (1, 2, 32, 32, 16)
