@@ -7,6 +7,14 @@ from world_modelz_tpu.parallel.mesh import (
     shard_params,
     DEFAULT_TP_RULES,
 )
+from world_modelz_tpu.parallel.sequence import (
+    local3d_attention_seq,
+    make_seq_sharded_attention,
+)
+from world_modelz_tpu.parallel.distributed import (
+    initialize_distributed,
+    shard_host_batch,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +22,8 @@ __all__ = [
     "replicated",
     "shard_params",
     "DEFAULT_TP_RULES",
+    "local3d_attention_seq",
+    "make_seq_sharded_attention",
+    "initialize_distributed",
+    "shard_host_batch",
 ]
