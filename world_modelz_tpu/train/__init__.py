@@ -15,6 +15,11 @@ from world_modelz_tpu.train.importance import (
     uniform_sample,
 )
 from world_modelz_tpu.train.optim import make_optimizer, global_grad_norm
+from world_modelz_tpu.train.guard import (
+    RestartManager,
+    finite_guard,
+    tree_all_finite,
+)
 
 __all__ = [
     "warmup_cosine_schedule",
@@ -29,4 +34,7 @@ __all__ = [
     "uniform_sample",
     "make_optimizer",
     "global_grad_norm",
+    "RestartManager",
+    "finite_guard",
+    "tree_all_finite",
 ]
