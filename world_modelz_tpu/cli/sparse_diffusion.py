@@ -233,6 +233,12 @@ def train(cfg: SparseDiffusionConfig):
         @jax.jit
         def encode_batch(frames):
             b, s, hh, ww, c = frames.shape
+            if c != tok.in_channels:
+                raise ValueError(
+                    f"data has {c} channels but the tokenizer was trained "
+                    f"with in_channels={tok.in_channels} "
+                    "(check --decoder_model vs --dataset)"
+                )
             z = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
             return z.reshape(b, s, z.shape[1], z.shape[2])
 

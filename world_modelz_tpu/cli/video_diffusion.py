@@ -267,6 +267,12 @@ def train(cfg: VideoDiffusionConfig):
     # probe token-grid shape from one encoded clip (main2.py:399-404)
     probe = jnp.asarray(clip_fn(1))
     _, s, hh, ww, c = probe.shape
+    if c != tok.in_channels:
+        raise ValueError(
+            f"data has {c} channels but the tokenizer was trained with "
+            f"in_channels={tok.in_channels} (check --decoder_model vs "
+            "--dataset)"
+        )
     z = tok.encode(tok_state, probe[0])
     token_shape = (s, z.shape[1], z.shape[2])
     print("token grid:", token_shape)
