@@ -416,11 +416,12 @@ def train(cfg: VideoDiffusionConfig):
                     params, ema_params, opt_state, sampler_state, frames, sub
                 )
             )
-            if cfg.nan_guard and not bool(ok):
-                rejected += 1
-                print(f"{step}: step REJECTED (non-finite loss/grads)")
-
             if step % cfg.log_interval == 0 or step == start_step + 1:
+                # the guard acts on-device every step; the host only samples
+                # the flag at log points to avoid a per-step readback sync
+                if cfg.nan_guard and not bool(ok):
+                    rejected += 1
+                    print(f"{step}: step REJECTED (non-finite loss/grads)")
                 dt = time.time() - t0
                 t0 = time.time()
                 m = {
