@@ -42,7 +42,11 @@ def _vq_kernel(x_ref, e_ref, e_sq_ref, idx_ref, q_ref=None):
     idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TN,)
     idx_ref[:] = idx[:, None]
     if q_ref is not None:
-        # quantized = onehot @ E  (MXU; avoids an in-kernel gather)
+        # quantized = onehot @ E on the MXU. A dynamic in-VMEM gather
+        # (jnp.take) would halve the FLOPs but has no Mosaic lowering on
+        # TPU today (interpret-only); the one-hot matmul is why this kernel
+        # currently trails XLA's fused matmul+argmin+gather for encode+decode
+        # (docs/ROADMAP.md) — the index-only variant skips it entirely.
         k = e.shape[0]
         onehot = (
             idx[:, None]
