@@ -123,3 +123,48 @@ def test_masked_denoise_cli(tmp_path):
     assert any(
         f.endswith(".png") for f in os.listdir(tmp_path)
     )
+
+
+def test_video_diffusion_resume(tokenizer_ckpt, tmp_path):
+    """Checkpoint/resume restores step counter and all state trees
+    (the reference restarted at step 1, SURVEY.md §5)."""
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    base = dict(
+        dataset="synthetic", decoder_model=tokenizer_ckpt,
+        batch_size=8, n_past=2, image_size=32, warmup=2,
+        dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16, dim_head=8,
+        heads=2, ema_decay=0.99, eval_interval=0, checkpoint_interval=3,
+        log_interval=3, buffer_size=150, output_dir=str(tmp_path), name="r",
+    )
+    train(VideoDiffusionConfig(**base, max_steps=3))
+    assert os.path.isdir(tmp_path / "step_0000003")
+    train(
+        VideoDiffusionConfig(
+            **base, max_steps=6,
+            checkpoint=str(tmp_path / "step_0000003"),
+        )
+    )
+    assert os.path.isdir(tmp_path / "step_0000006")
+
+
+def test_tokenizer_resume(tmp_path):
+    from world_modelz_tpu.cli.train_vqae import TrainVqaeConfig, train
+
+    base = dict(
+        batch_size=8, image_size=32, downscale_steps=2, embedding_dim=8,
+        hidden_planes=16, num_embeddings=32, checkpoint_interval=3,
+        vq_reuse_interval=0, log_interval=3, output_dir=str(tmp_path),
+        name="r",
+    )
+    train(TrainVqaeConfig(**base, max_steps=3))
+    train(
+        TrainVqaeConfig(
+            **base, max_steps=6,
+            checkpoint=str(tmp_path / "step_0000003"),
+        )
+    )
+    assert os.path.isdir(tmp_path / "step_0000006")
