@@ -168,3 +168,86 @@ def test_tokenizer_resume(tmp_path):
         )
     )
     assert os.path.isdir(tmp_path / "step_0000006")
+
+
+def test_som_pipeline_stages(tmp_path):
+    """Stages couple through embedded-config checkpoints end-to-end."""
+    import numpy as np
+
+    from world_modelz_tpu.cli.som_pipeline import (
+        CreateDatasetConfig,
+        FinetuneAeConfig,
+        TrainAeConfig,
+        TrainSomConfig,
+        create_diffusion_dataset,
+        finetune_ae,
+        load_som_ae,
+        train_ae,
+        train_som,
+    )
+
+    out1 = str(tmp_path / "s1")
+    _, ckpt1 = train_ae(
+        TrainAeConfig(
+            batch_size=8, image_size=32, max_steps=4, downscale_steps=2,
+            embedding_dim=8, hidden_planes=16, checkpoint_interval=0,
+            log_interval=2, output_dir=out1, name="s1",
+        )
+    )
+    out2 = str(tmp_path / "s2")
+    _, ckpt2 = train_som(
+        TrainSomConfig(
+            ae_checkpoint=ckpt1, batch_size=8, image_size=32,
+            som_width=8, som_height=8, sigma_begin=4.0, sigma_end=0.5,
+            max_steps=3, checkpoint_interval=3, log_interval=1,
+            adapt_batch_size=64, output_dir=out2, name="s2",
+        )
+    )
+    out3 = str(tmp_path / "s3")
+    _, ckpt3 = finetune_ae(
+        FinetuneAeConfig(
+            som_checkpoint=ckpt2, batch_size=8, image_size=32,
+            max_steps=3, checkpoint_interval=0, log_interval=1,
+            som_adapt_batch=32, output_dir=out3, name="s3",
+        )
+    )
+    data = create_diffusion_dataset(
+        CreateDatasetConfig(
+            checkpoint=ckpt3, batch_size=8, image_size=32,
+            max_examples=16, dataset_fn=str(tmp_path / "latents.npz"),
+        )
+    )
+    assert data.shape == (16, 8, 8, 2)
+    assert np.abs(data).max() <= 1.0
+
+    # rehydration contract
+    ae, state, config = load_som_ae(ckpt3)
+    assert state.som.width == 8 and ae.embedding_dim == 8
+
+
+def test_rollout_cli(tokenizer_ckpt, tmp_path):
+    from world_modelz_tpu.cli.rollout import RolloutConfig, run
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path / "vd")
+    train(
+        VideoDiffusionConfig(
+            dataset="synthetic", decoder_model=tokenizer_ckpt,
+            batch_size=8, n_past=2, image_size=32, max_steps=3, warmup=1,
+            dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16, dim_head=8,
+            heads=2, eval_interval=0, checkpoint_interval=3, log_interval=3,
+            buffer_size=150, output_dir=out, name="vd",
+        )
+    )
+    frames = run(
+        RolloutConfig(
+            checkpoint=f"{out}/step_0000003", batch_size=2, num_frames=2,
+            num_eval_iterations=2, output_dir=str(tmp_path / "ro"),
+            name="ro",
+        )
+    )
+    assert frames.shape[:2] == (2, 2)
+    assert os.path.isfile(tmp_path / "ro" / "ro.gif")
