@@ -295,17 +295,28 @@ def train(cfg: VideoDiffusionConfig):
 
     start_step = 0
     if cfg.checkpoint:
-        target = {
-            "params": params,
-            "ema": ema_params if ema_params is not None else {},
-            "opt_state": opt_state,
-            "sampler": sampler_state,
-        }
-        restored, start_step, _ = restore_checkpoint(cfg.checkpoint, target)
-        params = restored["params"]
-        ema_params = restored["ema"] if cfg.ema_decay > 0 else None
-        opt_state = restored["opt_state"]
-        sampler_state = restored["sampler"]
+        if cfg.eval:
+            # eval-only: weights suffice; don't demand optimizer-state
+            # compatibility (e.g. a checkpoint trained with a different
+            # accumulation_steps has a MultiSteps-shaped opt_state)
+            restored, start_step, _ = restore_checkpoint(cfg.checkpoint)
+            params = restored["params"]
+            if cfg.ema_decay > 0 and restored.get("ema"):
+                ema_params = restored["ema"]
+        else:
+            target = {
+                "params": params,
+                "ema": ema_params if ema_params is not None else {},
+                "opt_state": opt_state,
+                "sampler": sampler_state,
+            }
+            restored, start_step, _ = restore_checkpoint(
+                cfg.checkpoint, target
+            )
+            params = restored["params"]
+            ema_params = restored["ema"] if cfg.ema_decay > 0 else None
+            opt_state = restored["opt_state"]
+            sampler_state = restored["sampler"]
         print(f"resumed from {cfg.checkpoint} at step {start_step}")
 
     # shard: params/opt replicated or tensor-parallel; batch over 'data'
