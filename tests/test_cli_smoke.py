@@ -246,8 +246,13 @@ def test_rollout_cli(tokenizer_ckpt, tmp_path):
         RolloutConfig(
             checkpoint=f"{out}/step_0000003", batch_size=2, num_frames=2,
             num_eval_iterations=2, output_dir=str(tmp_path / "ro"),
-            name="ro",
+            name="ro", fvd=True, fvd_clips=4, fvd_batch_size=2,
         )
     )
     assert frames.shape[:2] == (2, 2)
     assert os.path.isfile(tmp_path / "ro" / "ro.gif")
+    import json
+
+    with open(tmp_path / "ro" / "ro_fvd.json") as f:
+        rec = json.load(f)
+    assert rec["clips"] == 4 and np.isfinite(rec["fvd"])

@@ -1,0 +1,130 @@
+"""FVD harness tests: Fréchet math, extractors, end-to-end scoring."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from world_modelz_tpu.utils import fvd as F
+
+
+def test_frechet_closed_form_identical():
+    rng = np.random.default_rng(0)
+    mu = rng.normal(size=6)
+    a = rng.normal(size=(6, 6))
+    s = a @ a.T + 0.5 * np.eye(6)
+    assert abs(F.frechet_distance(mu, s, mu, s)) < 1e-8  # ridge cancels
+
+
+def test_frechet_diagonal_closed_form():
+    # for diagonal covariances the distance is elementwise:
+    # |mu1-mu2|^2 + sum (sqrt(d1) - sqrt(d2))^2
+    mu1 = np.array([0.0, 1.0, -2.0])
+    mu2 = np.array([1.0, 0.0, 0.5])
+    d1 = np.array([1.0, 4.0, 0.25])
+    d2 = np.array([2.0, 1.0, 1.0])
+    expect = np.sum((mu1 - mu2) ** 2) + np.sum(
+        (np.sqrt(d1) - np.sqrt(d2)) ** 2
+    )
+    got = F.frechet_distance(mu1, np.diag(d1), mu2, np.diag(d2))
+    assert abs(got - expect) < 1e-5
+
+
+def test_frechet_symmetric_and_nonnegative():
+    rng = np.random.default_rng(1)
+    f1 = rng.normal(size=(128, 8))
+    f2 = rng.normal(size=(128, 8)) * 1.5 + 0.3
+    mu1, s1 = F.gaussian_stats(f1)
+    mu2, s2 = F.gaussian_stats(f2)
+    d12 = F.frechet_distance(mu1, s1, mu2, s2)
+    d21 = F.frechet_distance(mu2, s2, mu1, s1)
+    assert d12 > 0
+    assert abs(d12 - d21) < 1e-6
+
+
+def test_tiny_extractor_deterministic(rng):
+    vids = rng.uniform(size=(6, 4, 32, 32, 1)).astype(np.float32)
+    f1 = F.tiny_video_features(jnp.asarray(vids))
+    f2 = F.tiny_video_features(jnp.asarray(vids))
+    assert f1.shape == (6, 256)
+    assert jnp.allclose(f1, f2)
+    # channel handling: 3-channel input works too
+    f3 = F.tiny_video_features(jnp.asarray(np.repeat(vids, 3, axis=-1)))
+    assert f3.shape == (6, 256)
+
+
+def test_fvd_discriminates(rng):
+    real = rng.uniform(size=(24, 4, 32, 32, 1)).astype(np.float32)
+    same = real.copy()
+    noisy = np.clip(
+        real + 0.5 * rng.normal(size=real.shape), 0, 1
+    ).astype(np.float32)
+    d_same = F.fvd(real, same, batch_size=8)
+    d_noisy = F.fvd(real, noisy, batch_size=8)
+    assert abs(d_same) < 1e-3
+    assert d_noisy > 100 * max(abs(d_same), 1e-6)
+
+
+def test_fvd_shape_mismatch_rejected(rng):
+    a = rng.uniform(size=(4, 4, 32, 32, 1)).astype(np.float32)
+    b = rng.uniform(size=(4, 5, 32, 32, 1)).astype(np.float32)
+    with pytest.raises(ValueError, match="clip shapes differ"):
+        F.fvd(a, b)
+
+
+def test_make_extractor_names():
+    assert F.make_extractor("tiny") is F.tiny_video_features
+    with pytest.raises(ValueError, match="unknown extractor"):
+        F.make_extractor("vgg")
+    with pytest.raises(ValueError, match="weights"):
+        F.make_extractor("i3d")  # no weights mounted
+
+
+def test_i3d_loader_rejects_incomplete(tmp_path):
+    # an npz missing keys must fail with a clear message
+    p = tmp_path / "bad.npz"
+    np.savez(p, **{"params/Conv3d_1a_7x7/conv/kernel": np.zeros((7, 7, 7, 3, 64))})
+    with pytest.raises(ValueError, match="missing"):
+        F.load_i3d(str(p))
+
+
+@pytest.mark.slow
+def test_i3d_random_weights_forward():
+    model, variables = F.i3d_init()
+    paths = F.i3d_param_paths(variables)
+    assert "params/Conv3d_1a_7x7/conv/kernel" in paths
+    assert "params/logits/conv/kernel" in paths
+    assert any(p.startswith("batch_stats/") for p in paths)
+    vids = jnp.asarray(
+        np.random.default_rng(0)
+        .uniform(size=(2, 8, 32, 32, 1))
+        .astype(np.float32)
+    )
+    out = F.i3d_features(model, variables, vids)
+    assert out.shape == (2, 400)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.slow
+def test_i3d_loader_roundtrip(tmp_path):
+    # save random-init variables under the documented key scheme, reload,
+    # verify identical outputs — proves the npz contract end to end
+    model, variables = F.i3d_init()
+    flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    arrays = {
+        "/".join(
+            p.key if hasattr(p, "key") else str(p.idx) for p in path
+        ): np.asarray(x)
+        for path, x in flat
+    }
+    p = tmp_path / "i3d.npz"
+    np.savez(p, **arrays)
+    model2, loaded = F.load_i3d(str(p))
+    vids = jnp.asarray(
+        np.random.default_rng(1)
+        .uniform(size=(1, 8, 32, 32, 3))
+        .astype(np.float32)
+    )
+    a = F.i3d_features(model, variables, vids)
+    b = F.i3d_features(model2, loaded, vids)
+    assert np.allclose(np.asarray(a), np.asarray(b))

@@ -9,11 +9,19 @@ command.
 The whole rollout (all frames x all denoise iterations x model forwards)
 compiles to a single XLA program via scan/fori_loop — the reference
 re-enters Python per iteration (main2.py:85-131).
+
+With ``--fvd true`` the run also scores the generated futures against real
+clips of the same length with the Fréchet Video Distance harness
+(utils/fvd.py) — the quantitative counterpart of the reference's qualitative
+GIF judgement (vq-video-diffusion/results/README.md:13-24). ``--fvd_clips``
+controls the sample size (extra rollout batches are generated as needed).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 
 import jax
 import jax.numpy as jnp
@@ -50,6 +58,12 @@ class RolloutConfig:
     output_dir: str = "outputs/rollout"
     name: str = "rollout"
     fps: float = 5.0
+    # FVD scoring (utils/fvd.py)
+    fvd: bool = False
+    fvd_clips: int = 64  # clips per side; extra rollout batches as needed
+    fvd_feature_net: str = "tiny"  # tiny | i3d
+    fvd_weights: str = ""  # i3d .npz (or WMZ_I3D_WEIGHTS)
+    fvd_batch_size: int = 8  # feature-extraction batch
 
 
 def run(cfg: RolloutConfig):
@@ -64,19 +78,11 @@ def run(cfg: RolloutConfig):
 
     tok, tok_state, _ = load_tokenizer(train_cfg.decoder_model)
     clip_fn, sampler = build_clip_fn(train_cfg, cfg.manual_seed)
-    frames = jnp.asarray(clip_fn(cfg.batch_size))
-    b, s, hh, ww, c = frames.shape
-    tokens = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
-    tokens = tokens.reshape(b, s, tokens.shape[1], tokens.shape[2])
-    token_shape = (s, tokens.shape[2], tokens.shape[3])
 
-    model = make_model(train_cfg, token_shape, tok.num_embeddings)
-    logits_fn = lambda z: model.apply({"params": params}, z)
+    model = None  # built after the first batch probes the token grid
 
     if cfg.shard_batch:
-        # data-parallel generation: shard the clip batch over all devices;
-        # the scanned denoise loop shards with it under jit
-        from world_modelz_tpu.parallel import batch_sharding, make_mesh, replicated
+        from world_modelz_tpu.parallel import make_mesh, replicated
 
         mesh = make_mesh()
         if cfg.batch_size % mesh.shape["data"] != 0:
@@ -84,26 +90,48 @@ def run(cfg: RolloutConfig):
                 f"batch_size {cfg.batch_size} must be divisible by "
                 f"{mesh.shape['data']} devices"
             )
-        tokens = jax.device_put(tokens, batch_sharding(mesh))
-        params = jax.device_put(params, replicated(mesh))
+    else:
+        mesh = None
 
-    gen = rollout_frames(
-        jax.random.PRNGKey(cfg.manual_seed),
-        logits_fn,
-        tokens,
-        num_frames=cfg.num_frames,
-        num_classes=tok.num_embeddings,
-        mask_token=tok.num_embeddings,
-        num_iterations=cfg.num_eval_iterations,
-        sample_topk=cfg.topk,
-    )  # (B, T, h, w)
-    t = gen.shape[1]
-    decoded = tok.decode(tok_state, gen.reshape(b * t, *gen.shape[2:]))
-    decoded = np.asarray(jax.device_get(decoded)).reshape(
-        b, t, *decoded.shape[1:]
-    )
+    def generate(key) -> np.ndarray:
+        """One rollout batch -> (B, num_frames, H, W, C) decoded pixels."""
+        nonlocal model, params
+        frames = jnp.asarray(clip_fn(cfg.batch_size))
+        b, s, hh, ww, c = frames.shape
+        tokens = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
+        tokens = tokens.reshape(b, s, tokens.shape[1], tokens.shape[2])
+        if model is None:
+            token_shape = (s, tokens.shape[2], tokens.shape[3])
+            model = make_model(train_cfg, token_shape, tok.num_embeddings)
+            if mesh is not None:
+                from world_modelz_tpu.parallel import replicated
 
-    import os
+                params = jax.device_put(params, replicated(mesh))
+        if mesh is not None:
+            from world_modelz_tpu.parallel import batch_sharding
+
+            tokens = jax.device_put(tokens, batch_sharding(mesh))
+
+        gen = rollout_frames(
+            key,
+            lambda z: model.apply({"params": params}, z),
+            tokens,
+            num_frames=cfg.num_frames,
+            num_classes=tok.num_embeddings,
+            mask_token=tok.num_embeddings,
+            num_iterations=cfg.num_eval_iterations,
+            sample_topk=cfg.topk,
+        )  # (B, T, h, w)
+        t = gen.shape[1]
+        decoded = tok.decode(tok_state, gen.reshape(b * t, *gen.shape[2:]))
+        return np.asarray(jax.device_get(decoded)).reshape(
+            b, t, *decoded.shape[1:]
+        )
+
+    key = jax.random.PRNGKey(cfg.manual_seed)
+    key, sub = jax.random.split(key)
+    decoded = generate(sub)
+    b, t = decoded.shape[:2]
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     gif_frames = []
@@ -116,6 +144,44 @@ def run(cfg: RolloutConfig):
     gif_path = f"{cfg.output_dir}/{cfg.name}.gif"
     save_gif(gif_frames, gif_path, fps=cfg.fps)
     print(f"rollout: {t} frames -> {gif_path}")
+
+    if cfg.fvd:
+        from world_modelz_tpu.utils import fvd as fvd_lib
+
+        gen_clips = [decoded]
+        n_gen = b
+        while n_gen < cfg.fvd_clips:
+            key, sub = jax.random.split(key)
+            gen_clips.append(generate(sub))
+            n_gen += b
+        gen_videos = np.concatenate(gen_clips, axis=0)[: cfg.fvd_clips]
+
+        # real clips of the same length, from the training data source
+        real_cfg = dataclasses.replace(train_cfg, n_past=t - 1)
+        real_fn, real_sampler = build_clip_fn(
+            real_cfg, cfg.manual_seed + 1
+        )
+        real_videos = np.asarray(real_fn(len(gen_videos)))
+        if real_sampler is not None:
+            real_sampler.close()
+
+        extractor = fvd_lib.make_extractor(
+            cfg.fvd_feature_net, cfg.fvd_weights or None
+        )
+        score = fvd_lib.fvd(
+            real_videos, gen_videos, extractor, cfg.fvd_batch_size
+        )
+        record = {
+            "step": step,
+            "fvd": score,
+            "feature_net": cfg.fvd_feature_net,
+            "clips": int(len(gen_videos)),
+            "frames_per_clip": int(t),
+        }
+        print("FVD:", json.dumps(record))
+        with open(f"{cfg.output_dir}/{cfg.name}_fvd.json", "w") as f:
+            json.dump(record, f)
+
     if sampler is not None:
         sampler.close()
     return decoded
