@@ -101,3 +101,27 @@ def test_single_batch_overfit_tokenizer():
         if first is None:
             first = float(l)
     assert float(l) < 0.25 * first, (first, float(l))
+
+
+def test_checkpoint_guard_escalates_to_restore():
+    from world_modelz_tpu.train.guard import CheckpointGuard
+
+    calls = []
+    guard = CheckpointGuard(lambda: calls.append(1) or "RESTORED",
+                            max_rejects=3)
+    # a healthy streak never restores
+    for _ in range(10):
+        assert guard.record(True) is None
+    # rejections below the threshold don't either, and a success resets
+    assert guard.record(False) is None
+    assert guard.record(False) is None
+    assert guard.record(True) is None
+    assert guard.record(False) is None
+    assert guard.record(False) is None
+    assert calls == []
+    # the third consecutive rejection trips the restore
+    assert guard.record(False) == "RESTORED"
+    assert calls == [1]
+    assert guard.manager.restores == 1
+    # counters reset after a restore
+    assert guard.record(False) is None

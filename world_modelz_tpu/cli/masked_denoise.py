@@ -37,8 +37,12 @@ from world_modelz_tpu.ops.vq import (
     vq_encode,
     vq_init,
 )
-from world_modelz_tpu.train import make_optimizer
-from world_modelz_tpu.train.checkpoint import save_checkpoint
+from world_modelz_tpu.train import CheckpointGuard, make_optimizer
+from world_modelz_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from world_modelz_tpu.utils import MetricLogger, dataclass_cli, make_grid, save_image
 from world_modelz_tpu.utils.config import config_to_dict
 
@@ -70,6 +74,7 @@ class MaskedDenoiseConfig:
     batch_size: int = 14
     lr: float = 5e-4
     weight_decay: float = 1e-7
+    nan_guard: bool = True  # reject non-finite steps; auto-restore on streaks
     d_model: int = 512
     depth: int = 5
     schedule_name: str = "cos3_inv"
@@ -223,9 +228,18 @@ def train(cfg: MaskedDenoiseConfig):
             return ce.mean()
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
+        gn = optax.global_norm(grads)
+        old = (params, opt_state)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        # failure detection: reject the whole step on a non-finite loss/grad
+        # (train/guard.py semantics, on-device — no per-step host sync)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gn)
+        if cfg.nan_guard:
+            params, opt_state = jax.tree_util.tree_map(
+                lambda o, n: jnp.where(ok, n, o), old, (params, opt_state)
+            )
+        return params, opt_state, loss, ok
 
     def evaluate(params, step):
         """Iterative unmask with a per-iteration decode trace
@@ -267,15 +281,39 @@ def train(cfg: MaskedDenoiseConfig):
 
     logger = MetricLogger(cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
                          project=cfg.project, config=config_to_dict(cfg))
+
+    def restore_latest():
+        path = latest_checkpoint(cfg.output_dir)
+        if not path:
+            return None
+        restored, at_step, _ = restore_checkpoint(
+            path,
+            target={
+                "params": jax.device_get(params),
+                "vq": jax.device_get(vq_state),
+                "opt_state": jax.device_get(opt_state),
+            },
+        )
+        print(f"[guard] restored {path} (step {at_step})")
+        return restored["params"], restored["opt_state"]
+
+    guard = CheckpointGuard(restore_latest)
+    # device scalars, read back once at the end — no per-step host sync
     loss_log = []
     try:
         for step in range(1, cfg.max_steps + 1):
             key, sub = jax.random.split(key)
-            params, opt_state, loss = train_step(
+            params, opt_state, loss, ok = train_step(
                 params, opt_state, jnp.asarray(batch_fn()), sub
             )
-            loss_log.append(float(loss))
+            loss_log.append(loss)
             if step % cfg.log_interval == 0 or step == 1:
+                accepted = bool(ok) or not cfg.nan_guard
+                if not accepted:
+                    print(f"{step}: step REJECTED (non-finite loss/grads)")
+                restored = guard.record(accepted, step)
+                if restored is not None:
+                    params, opt_state = restored
                 logger.log(step, loss=float(loss))
                 print(f"{step}: loss {float(loss):.4f}")
             if cfg.eval_interval and step % cfg.eval_interval == 0:
@@ -287,7 +325,7 @@ def train(cfg: MaskedDenoiseConfig):
                     config_to_dict(cfg),
                 )
                 print("checkpoint:", path)
-        _plot_loss(cfg, loss_log)
+        _plot_loss(cfg, [float(x) for x in loss_log])
     finally:
         logger.close()
     return params, vq_state

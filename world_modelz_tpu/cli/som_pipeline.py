@@ -45,6 +45,7 @@ from world_modelz_tpu.models.som_autoencoder import (
 from world_modelz_tpu.models.unet import UNetDiffusionModel
 from world_modelz_tpu.ops.som import som_adapt
 from world_modelz_tpu.train import (
+    CheckpointGuard,
     ema_init,
     ema_update,
     make_optimizer,
@@ -52,6 +53,7 @@ from world_modelz_tpu.train import (
     warmup_cosine_schedule,
 )
 from world_modelz_tpu.train.checkpoint import (
+    latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -88,6 +90,14 @@ def _image_batch_fn(dataset, file_list_fn, image_dir_path, image_fn_regex,
         return frames[rng.integers(0, len(frames), batch_size)]
 
     return sample
+
+
+def _reject_nonfinite(ok, old, new):
+    """On-device step rejection (train/guard.py semantics): keep every leaf
+    of `old` wherever the scalar `ok` is False."""
+    return jax.tree_util.tree_map(
+        lambda o, n: jnp.where(ok, n, o), old, new
+    )
 
 
 def _make_ae(cfg, pass_through: bool) -> SomAutoEncoder:
@@ -157,6 +167,7 @@ class TrainAeConfig:
     optimizer: str = "AdamW"
     lr: float = 2e-4
     loss_fn: str = "SmoothL1"
+    nan_guard: bool = True  # reject non-finite steps; auto-restore on streaks
     max_steps: int = 10000
     lr_decay_interval: int = 3000
 
@@ -214,9 +225,17 @@ def train_ae(cfg: TrainAeConfig):
         (l, (new_state, recon)), grads = jax.value_and_grad(
             loss, has_aux=True
         )(state.params)
+        gn = optax.global_norm(grads)
+        old = (state, opt_state)
         updates, opt_state = opt.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        return new_state.replace(params=params), opt_state, l, recon
+        new_state = new_state.replace(params=params)
+        ok = jnp.isfinite(l) & jnp.isfinite(gn)
+        if cfg.nan_guard:
+            new_state, opt_state = _reject_nonfinite(
+                ok, old, (new_state, opt_state)
+            )
+        return new_state, opt_state, l, recon, ok
 
     batch_fn = _image_batch_fn(
         cfg.dataset, cfg.file_list_fn, cfg.image_dir_path, cfg.image_fn_regex,
@@ -225,12 +244,33 @@ def train_ae(cfg: TrainAeConfig):
     batches = PrefetchIterator(batch_fn, depth=2)
     logger = MetricLogger(cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
                          project=cfg.project, config=config_to_dict(cfg))
+    def restore_latest():
+        path = latest_checkpoint(cfg.output_dir)
+        if not path:
+            return None
+        restored, at_step, _ = restore_checkpoint(
+            path,
+            target={
+                "ae": jax.device_get(state),
+                "opt_state": jax.device_get(opt_state),
+            },
+        )
+        print(f"[guard] restored {path} (step {at_step})")
+        return restored["ae"], restored["opt_state"]
+
+    guard = CheckpointGuard(restore_latest)
     try:
         for step in range(1, cfg.max_steps + 1):
-            state, opt_state, loss, recon = step_fn(
+            state, opt_state, loss, recon, ok = step_fn(
                 state, opt_state, next(batches)
             )
             if step % cfg.log_interval == 0 or step == 1:
+                accepted = bool(ok) or not cfg.nan_guard
+                if not accepted:
+                    print(f"{step}: step REJECTED (non-finite loss/grads)")
+                restored = guard.record(accepted, step)
+                if restored is not None:
+                    state, opt_state = restored
                 logger.log(step, loss=float(loss), lr=float(schedule(step)))
                 print(f"step {step}: loss {float(loss):.4f}")
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
@@ -271,6 +311,7 @@ class TrainSomConfig:
     sigma_end: float = 0.1
     eta_begin: float = 0.5
     eta_end: float = 0.05
+    nan_guard: bool = True  # reject non-finite SOM adaption steps
     max_steps: int = 10000
 
     dataset: str = "synthetic"
@@ -309,7 +350,10 @@ def train_som(cfg: TrainSomConfig):
         som, err = som_adapt(
             state.som, h, eta, sigma, adapt_batch_size=cfg.adapt_batch_size
         )
-        return state.replace(som=som), err
+        ok = jnp.isfinite(err)
+        if cfg.nan_guard:
+            som = _reject_nonfinite(ok, state.som, som)
+        return state.replace(som=som), err, ok
 
     batch_fn = _image_batch_fn(
         cfg.dataset, cfg.file_list_fn, cfg.image_dir_path, cfg.image_fn_regex,
@@ -328,8 +372,10 @@ def train_som(cfg: TrainSomConfig):
                 progress * exp_decay_scale
             )  # exponential decay (:94)
             batch = next(batches)
-            state, err = adapt_step(state, batch, eta, sigma)
+            state, err, ok = adapt_step(state, batch, eta, sigma)
             if step % cfg.log_interval == 0 or step == 1:
+                if cfg.nan_guard and not bool(ok):
+                    print(f"{step}: step REJECTED (non-finite SOM error)")
                 logger.log(step, som_error=float(err), eta=eta, sigma=sigma)
                 print(
                     f"{step}: som_error {float(err):.5f} eta {eta:.3f} "
@@ -376,6 +422,7 @@ class FinetuneAeConfig:
     optimizer: str = "AdamW"
     lr: float = 1e-4
     loss_fn: str = "SmoothL1"
+    nan_guard: bool = True  # reject non-finite steps; auto-restore on streaks
     max_steps: int = 10000
     lr_decay_interval: int = 3000
 
@@ -427,6 +474,8 @@ def finetune_ae(cfg: FinetuneAeConfig):
         (l, (new_state, h_in, recon)), grads = jax.value_and_grad(
             loss, has_aux=True
         )(state.params)
+        gn = optax.global_norm(grads)
+        old = (state, opt_state)
         updates, opt_state = opt.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = new_state.replace(params=params)
@@ -440,7 +489,12 @@ def finetune_ae(cfg: FinetuneAeConfig):
                 adapt_batch_size=cfg.som_adapt_batch,
             )
             new_state = new_state.replace(som=som)
-        return new_state, opt_state, l, som_loss, recon
+        ok = jnp.isfinite(l) & jnp.isfinite(gn) & jnp.isfinite(som_loss)
+        if cfg.nan_guard:
+            new_state, opt_state = _reject_nonfinite(
+                ok, old, (new_state, opt_state)
+            )
+        return new_state, opt_state, l, som_loss, recon, ok
 
     batch_fn = _image_batch_fn(
         cfg.dataset, cfg.file_list_fn, cfg.image_dir_path, cfg.image_fn_regex,
@@ -449,13 +503,30 @@ def finetune_ae(cfg: FinetuneAeConfig):
     batches = PrefetchIterator(batch_fn, depth=2)
     logger = MetricLogger(cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
                          project=cfg.project, config=config_to_dict(cfg))
+    def restore_latest():
+        # interval checkpoints carry only the AE state (reference contract);
+        # on restore the optimizer state is kept as-is
+        path = latest_checkpoint(cfg.output_dir) or cfg.som_checkpoint
+        if not path:
+            return None
+        _ae, restored, _cfg = load_som_ae(path, pass_through=True)
+        print(f"[guard] restored {path}")
+        return restored
+
+    guard = CheckpointGuard(restore_latest)
     try:
         for step in range(1, cfg.max_steps + 1):
             adapt = cfg.som_adapt_rate > 0 and step % adapt_interval == 0
-            state, opt_state, loss, som_loss, recon = step_fn(
+            state, opt_state, loss, som_loss, recon, ok = step_fn(
                 state, opt_state, next(batches), adapt
             )
             if step % cfg.log_interval == 0 or step == 1:
+                accepted = bool(ok) or not cfg.nan_guard
+                if not accepted:
+                    print(f"{step}: step REJECTED (non-finite loss/grads)")
+                restored = guard.record(accepted, step)
+                if restored is not None:
+                    state = restored
                 logger.log(
                     step, loss=float(loss), som_loss=float(som_loss),
                     lr=float(schedule(step)),
@@ -552,6 +623,7 @@ class TrainDiffusionConfig:
     optimizer: str = "AdamW"
     lr: float = 1e-4
     loss_fn: str = "MSE"
+    nan_guard: bool = True  # reject non-finite steps; auto-restore on streaks
     accumulation_steps: int = 1
     checkpoint_interval: int = 25000
     eval_interval: int = 2000
@@ -633,11 +705,17 @@ def train_diffusion(cfg: TrainDiffusionConfig):
 
         l, grads = jax.value_and_grad(loss)(params)
         gn = optax.global_norm(grads)
+        old = (params, ema_params, opt_state)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if ema_params is not None:
             ema_params = ema_update(ema_params, params, cfg.ema_decay)
-        return params, ema_params, opt_state, l, gn
+        ok = jnp.isfinite(l) & jnp.isfinite(gn)
+        if cfg.nan_guard:
+            params, ema_params, opt_state = _reject_nonfinite(
+                ok, old, (params, ema_params, opt_state)
+            )
+        return params, ema_params, opt_state, l, gn, ok
 
     def run_eval(p, tag, step):
         eps_fn = lambda x, t: model.apply({"params": p}, x, t)
@@ -660,6 +738,27 @@ def train_diffusion(cfg: TrainDiffusionConfig):
     logger = MetricLogger(cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
                          project=cfg.project, config=config_to_dict(cfg))
     fixed = data[rng.integers(0, len(data), cfg.batch_size)]
+
+    def restore_latest():
+        path = latest_checkpoint(cfg.output_dir)
+        if not path:
+            return None
+        target = {
+            "params": jax.device_get(params),
+            "ema": jax.device_get(ema_params)
+            if ema_params is not None
+            else {},
+            "opt_state": jax.device_get(opt_state),
+        }
+        restored, at_step, _ = restore_checkpoint(path, target)
+        print(f"[guard] restored {path} (step {at_step})")
+        return (
+            restored["params"],
+            restored["ema"] if ema_params is not None else None,
+            restored["opt_state"],
+        )
+
+    guard = CheckpointGuard(restore_latest)
     try:
         for step in range(1, cfg.max_steps + 1):
             if cfg.single_batch:
@@ -667,10 +766,16 @@ def train_diffusion(cfg: TrainDiffusionConfig):
             else:
                 batch = data[rng.integers(0, len(data), cfg.batch_size)]
             key, sub = jax.random.split(key)
-            params, ema_params, opt_state, loss, gn = step_fn(
+            params, ema_params, opt_state, loss, gn, ok = step_fn(
                 params, ema_params, opt_state, jnp.asarray(batch), sub
             )
             if step % cfg.log_interval == 0 or step == 1:
+                accepted = bool(ok) or not cfg.nan_guard
+                if not accepted:
+                    print(f"{step}: step REJECTED (non-finite loss/grads)")
+                restored = guard.record(accepted, step)
+                if restored is not None:
+                    params, ema_params, opt_state = restored
                 logger.log(step, loss=float(loss), grad_norm=float(gn),
                            lr=float(schedule(step)))
                 print(f"{step}: loss {float(loss):.3e} gn {float(gn):.2e}")

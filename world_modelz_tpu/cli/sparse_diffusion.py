@@ -44,6 +44,7 @@ from world_modelz_tpu.parallel import (
     shard_params,
 )
 from world_modelz_tpu.train import (
+    CheckpointGuard,
     ema_init,
     ema_update,
     loss_aware_init,
@@ -53,7 +54,11 @@ from world_modelz_tpu.train import (
     uniform_sample,
     warmup_cosine_schedule,
 )
-from world_modelz_tpu.train.checkpoint import save_checkpoint
+from world_modelz_tpu.train.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
 from world_modelz_tpu.utils import (
     MetricLogger,
     dataclass_cli,
@@ -79,6 +84,8 @@ class SparseDiffusionConfig:
     optimizer: str = "AdamW"
     ema_decay: float = 0.0
     bf16: bool = False  # bfloat16 compute with f32 master weights
+    nan_guard: bool = True  # reject non-finite steps; auto-restore on streaks
+    checkpoint: str = ""  # resume path
 
     decoder_model: str = ""
     tokenizer: str = ""  # external tokenizer spec, e.g. "taming:<cfg>,<ckpt>"
@@ -213,6 +220,21 @@ def train(cfg: SparseDiffusionConfig):
     ema_params = ema_init(params) if cfg.ema_decay > 0 else None
     sampler_state = loss_aware_init()
 
+    start_step = 0
+    if cfg.checkpoint:
+        target = {
+            "params": params,
+            "ema": ema_params if ema_params is not None else {},
+            "opt_state": opt_state,
+            "sampler": sampler_state,
+        }
+        restored, start_step, _ = restore_checkpoint(cfg.checkpoint, target)
+        params = restored["params"]
+        ema_params = restored["ema"] if cfg.ema_decay > 0 else None
+        opt_state = restored["opt_state"]
+        sampler_state = restored["sampler"]
+        print(f"resumed from {cfg.checkpoint} at step {start_step}")
+
     p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
     params = jax.device_put(params, p_shard)
     if tok_state is not None:
@@ -291,14 +313,29 @@ def train(cfg: SparseDiffusionConfig):
         (loss, per_sample), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params)
-        if not cfg.uniform_noise:
-            sampler_state = loss_aware_update(sampler_state, r, per_sample)
         gn = optax.global_norm(grads)
-        updates, opt_state = opt.update(grads, opt_state, params)
+        old = (params, ema_params, opt_state, sampler_state)
+        if not cfg.uniform_noise:
+            sampler_state = loss_aware_update(
+                sampler_state, r, jnp.nan_to_num(per_sample)
+            )
+        updates, opt_state = opt.update(
+            jax.tree_util.tree_map(jnp.nan_to_num, grads), opt_state, params
+        )
         params = optax.apply_updates(params, updates)
         if ema_params is not None:
             ema_params = ema_update(ema_params, params, cfg.ema_decay)
-        return params, ema_params, opt_state, sampler_state, loss, gn
+        # failure detection: reject the whole step on a non-finite loss/grad
+        # (train/guard.py semantics, on-device — no per-step host sync)
+        ok = jnp.isfinite(loss) & jnp.isfinite(gn)
+        if cfg.nan_guard:
+            new = (params, ema_params, opt_state, sampler_state)
+            params, ema_params, opt_state, sampler_state = (
+                jax.tree_util.tree_map(
+                    lambda o, n: jnp.where(ok, n, o), old, new
+                )
+            )
+        return params, ema_params, opt_state, sampler_state, loss, gn, ok
 
     def run_eval(params_eval, tag, step):
         logits_fn = lambda toks, idx: model.apply(
@@ -334,10 +371,36 @@ def train(cfg: SparseDiffusionConfig):
         project=cfg.project, config=config_to_dict(cfg), tags=cfg.tags,
     )
 
+    def restore_latest():
+        """Reload the newest on-disk checkpoint (guard escalation path)."""
+        path = latest_checkpoint(cfg.output_dir) or cfg.checkpoint
+        if not path:
+            return None
+        target = {
+            "params": jax.device_get(params),
+            "ema": jax.device_get(ema_params)
+            if ema_params is not None
+            else {},
+            "opt_state": jax.device_get(opt_state),
+            "sampler": jax.device_get(sampler_state),
+        }
+        restored, at_step, _ = restore_checkpoint(path, target)
+        print(f"[guard] restored {path} (step {at_step})")
+        return (
+            jax.device_put(restored["params"], p_shard),
+            jax.device_put(restored["ema"], p_shard)
+            if ema_params is not None
+            else None,
+            jax.device_put(restored["opt_state"], replicated(mesh)),
+            jax.device_put(restored["sampler"], replicated(mesh)),
+        )
+
+    guard = CheckpointGuard(restore_latest)
+    rejected = 0
     batch_z = None
     t0 = time.time()
     try:
-        for step in range(1, cfg.max_steps + 1):
+        for step in range(start_step + 1, cfg.max_steps + 1):
             if batch_z is None or (
                 not cfg.single_batch
                 and step % cfg.change_batch_interval == 1
@@ -357,13 +420,20 @@ def train(cfg: SparseDiffusionConfig):
                     )
 
             key, sub = jax.random.split(key)
-            params, ema_params, opt_state, sampler_state, loss, gn = (
+            params, ema_params, opt_state, sampler_state, loss, gn, ok = (
                 train_step(
                     params, ema_params, opt_state, sampler_state, batch_z, sub
                 )
             )
 
-            if step % cfg.log_interval == 0 or step == 1:
+            if step % cfg.log_interval == 0 or step == start_step + 1:
+                accepted = bool(ok) or not cfg.nan_guard
+                if not accepted:
+                    rejected += 1
+                    print(f"{step}: step REJECTED (non-finite loss/grads)")
+                restored = guard.record(accepted, step)
+                if restored is not None:
+                    params, ema_params, opt_state, sampler_state = restored
                 dt = time.time() - t0
                 t0 = time.time()
                 m = {

@@ -33,8 +33,13 @@ from world_modelz_tpu.data.images import load_file_list
 from world_modelz_tpu.models import TokenizerState, VQAutoEncoder
 from world_modelz_tpu.ops import vq_reset_stats, vq_reuse_inactive
 from world_modelz_tpu.parallel import batch_sharding, make_mesh, replicated
-from world_modelz_tpu.train import make_optimizer, step_decay_schedule
+from world_modelz_tpu.train import (
+    CheckpointGuard,
+    make_optimizer,
+    step_decay_schedule,
+)
 from world_modelz_tpu.train.checkpoint import (
+    latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -53,6 +58,7 @@ class TrainVqaeConfig:
     weight_decay: float = 1e-4
     lr: float = 2e-4
     loss_fn: str = "MAE"  # MAE|L1|MSE|SmoothL1
+    nan_guard: bool = True  # reject non-finite steps; auto-restore on streaks
     max_steps: int = 10000
     lr_decay_interval: int = 3000  # reference: halve lr every 3 epochs
 
@@ -217,6 +223,7 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
         (total, (r_loss, out, new_state, recon)), grads = jax.value_and_grad(
             loss, has_aux=True
         )(state.params)
+        gn = optax.global_norm(grads)
         updates, new_opt = opt.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -224,9 +231,20 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
             "r_loss": r_loss,
             "latent_loss": out.commitment_loss,
             "perplexity": out.perplexity,
-            "grad_norm": optax.global_norm(grads),
+            "grad_norm": gn,
         }
-        return new_state.replace(params=params), new_opt, metrics, recon
+        new_state = new_state.replace(params=params)
+        # failure detection: reject the whole step on a non-finite loss/grad
+        # (params, VQ-EMA stats, batch stats and optimizer stay untouched) —
+        # train/guard.py semantics, on-device so no per-step host sync
+        ok = jnp.isfinite(total) & jnp.isfinite(gn)
+        if cfg.nan_guard:
+            new_state, new_opt = jax.tree_util.tree_map(
+                lambda o, n: jnp.where(ok, n, o),
+                (state, opt_state),
+                (new_state, new_opt),
+            )
+        return new_state, new_opt, metrics, recon, ok
 
     @jax.jit
     def reuse_step(state: TokenizerState):
@@ -246,12 +264,30 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
         tags=cfg.tags,
     )
 
+    def restore_latest():
+        """Reload the newest on-disk checkpoint (guard escalation path)."""
+        path = latest_checkpoint(cfg.output_dir) or cfg.checkpoint
+        if not path:
+            return None
+        restored, at_step, _ = restore_checkpoint(
+            path,
+            target={"tokenizer": jax.device_get(state),
+                    "opt_state": jax.device_get(opt_state)},
+        )
+        print(f"[guard] restored {path} (step {at_step})")
+        return (
+            jax.device_put(restored["tokenizer"], repl),
+            jax.device_put(restored["opt_state"], repl),
+        )
+
+    guard = CheckpointGuard(restore_latest)
+    rejected = 0
     last_recon = None
     t0 = time.time()
     try:
         for step in range(start_step + 1, cfg.max_steps + 1):
             batch = next(batches)
-            state, opt_state, metrics, last_recon = train_step(
+            state, opt_state, metrics, last_recon, ok = train_step(
                 state, opt_state, batch
             )
 
@@ -260,6 +296,15 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
                 metrics["reused"] = reused
 
             if step % cfg.log_interval == 0 or step == start_step + 1:
+                # guard acts on-device every step; host samples the flag at
+                # log points only (no per-step readback sync)
+                accepted = bool(ok) or not cfg.nan_guard
+                if not accepted:
+                    rejected += 1
+                    print(f"{step}: step REJECTED (non-finite loss/grads)")
+                restored = guard.record(accepted, step)
+                if restored is not None:
+                    state, opt_state = restored
                 m = {k: float(v) for k, v in metrics.items()}
                 m["lr"] = float(schedule(step))
                 m["steps_per_sec"] = cfg.log_interval / max(

@@ -49,6 +49,7 @@ from world_modelz_tpu.parallel import (
     shard_params,
 )
 from world_modelz_tpu.train import (
+    CheckpointGuard,
     ema_init,
     ema_update,
     loss_aware_init,
@@ -58,6 +59,7 @@ from world_modelz_tpu.train import (
     warmup_cosine_schedule,
 )
 from world_modelz_tpu.train.checkpoint import (
+    latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -416,6 +418,31 @@ def train(cfg: VideoDiffusionConfig):
         project=cfg.project, config=config_to_dict(cfg), tags=cfg.tags,
     )
 
+    def restore_latest():
+        """Reload the newest on-disk checkpoint (guard escalation path)."""
+        path = latest_checkpoint(cfg.output_dir) or cfg.checkpoint
+        if not path:
+            return None
+        target = {
+            "params": jax.device_get(params),
+            "ema": jax.device_get(ema_params)
+            if ema_params is not None
+            else {},
+            "opt_state": jax.device_get(opt_state),
+            "sampler": jax.device_get(sampler_state),
+        }
+        restored, at_step, _ = restore_checkpoint(path, target)
+        print(f"[guard] restored {path} (step {at_step})")
+        return (
+            jax.device_put(restored["params"], p_shard),
+            jax.device_put(restored["ema"], p_shard)
+            if ema_params is not None
+            else None,
+            jax.device_put(restored["opt_state"], repl),
+            jax.device_put(restored["sampler"], repl),
+        )
+
+    guard = CheckpointGuard(restore_latest)
     t0 = time.time()
     rejected = 0
     try:
@@ -430,9 +457,13 @@ def train(cfg: VideoDiffusionConfig):
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 # the guard acts on-device every step; the host only samples
                 # the flag at log points to avoid a per-step readback sync
-                if cfg.nan_guard and not bool(ok):
+                accepted = bool(ok) or not cfg.nan_guard
+                if not accepted:
                     rejected += 1
                     print(f"{step}: step REJECTED (non-finite loss/grads)")
+                restored = guard.record(accepted, step)
+                if restored is not None:
+                    params, ema_params, opt_state, sampler_state = restored
                 dt = time.time() - t0
                 t0 = time.time()
                 m = {

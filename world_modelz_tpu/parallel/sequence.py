@@ -143,7 +143,6 @@ def make_seq_sharded_attention(
     shardable) over the frame axis and returning the global output.
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
 
     spec = P(None, axis_name)
 
@@ -154,10 +153,10 @@ def make_seq_sharded_attention(
         axis_name=axis_name,
         global_seq=global_seq,
     )
-    return shard_map(
+    return jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(spec, spec, spec),
         out_specs=spec,
-        check_rep=False,
+        check_vma=False,
     )

@@ -16,6 +16,7 @@ from world_modelz_tpu.train.importance import (
 )
 from world_modelz_tpu.train.optim import make_optimizer, global_grad_norm
 from world_modelz_tpu.train.guard import (
+    CheckpointGuard,
     RestartManager,
     finite_guard,
     tree_all_finite,
@@ -34,6 +35,7 @@ __all__ = [
     "uniform_sample",
     "make_optimizer",
     "global_grad_norm",
+    "CheckpointGuard",
     "RestartManager",
     "finite_guard",
     "tree_all_finite",

@@ -51,6 +51,35 @@ def finite_guard(
     return guarded, ok
 
 
+class CheckpointGuard:
+    """Host-side wiring of :class:`RestartManager` to a restore callback.
+
+    Trainers keep the NaN rejection itself on-device (a `jnp.where` over the
+    step's output state) and only sample the accepted flag at log points to
+    avoid per-step host syncs. This class consumes those sampled flags:
+    after `max_rejects` consecutive rejected sync points, `restore_fn()` is
+    invoked (reload the last good checkpoint) and its result returned so the
+    loop can swap in the restored state; otherwise `record` returns None.
+
+    Automates the reference's manual crash-restart contract
+    (minecraft/main2.py:219-231 `--checkpoint` resume by hand).
+    """
+
+    def __init__(self, restore_fn, max_rejects: int = 5):
+        self.manager = RestartManager(max_rejects)
+        self.restore_fn = restore_fn
+
+    def record(self, accepted: bool, step: int = -1):
+        self.manager.record(bool(accepted))
+        if self.manager.should_restore():
+            print(
+                f"[guard] {self.manager.max_rejects} consecutive rejected "
+                f"sync points at step {step}; restoring last checkpoint"
+            )
+            return self.restore_fn()
+        return None
+
+
 class RestartManager:
     """Escalate from step rejection to checkpoint restore.
 

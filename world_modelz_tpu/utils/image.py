@@ -14,7 +14,8 @@ import numpy as np
 
 
 def _to_uint8(img: np.ndarray) -> np.ndarray:
-    img = np.clip(np.asarray(img, np.float32), 0.0, 1.0)
+    img = np.nan_to_num(np.asarray(img, np.float32))
+    img = np.clip(img, 0.0, 1.0)
     return (img * 255.0 + 0.5).astype(np.uint8)
 
 
