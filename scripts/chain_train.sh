@@ -35,7 +35,7 @@ ckpt_step() {  # step number embedded in a step_XXXXXXX path ("" -> 0)
 if [ -z "$(latest "$TOK")" ]; then
   echo "[chain] training tokenizer" | tee -a "$LOG"
   timeout "$SEG" python scripts/train_vqae.py \
-    --dataset moving_mnist --image_size 64 --max_steps 1200 \
+    --dataset moving_mnist --image_size 64 --in_channels 1 --max_steps 1200 \
     --batch_size 96 --num_embeddings 512 --embedding_dim 64 \
     --downscale_steps 3 --checkpoint_interval 600 \
     --output_dir "$TOK" --name tok >>"$LOG" 2>&1 || true

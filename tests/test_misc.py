@@ -129,3 +129,119 @@ def test_make_tokenizer_bad_spec():
 
     with pytest.raises(ValueError, match="unknown tokenizer spec"):
         make_tokenizer("bogus:path")
+
+
+def test_taming_adapter_plumbing(monkeypatch, tmp_path):
+    """Drive TamingGumbelVQAdapter end-to-end against a faked `taming`
+    GumbelVQ so the tensor plumbing (NHWC<->NCHW permutes, [-1,1]<->[0,1]
+    range adapters, encode-tuple indexing, get_codebook_entry shape spec —
+    sparse_diffusion_sber.py:23-60,162-164) is exercised without the
+    optional packages or a checkpoint."""
+    import sys
+    import types
+
+    torch = pytest.importorskip("torch")
+
+    N_EMBED, ZCH = 16, 4
+    seen = {}
+
+    class FakeQuantize:
+        def get_codebook_entry(self, flat, shape):
+            b, h, w, c = shape
+            assert c == ZCH
+            seen["codebook_shape"] = shape
+            # embed index i as constant plane i/N_EMBED in NCHW
+            z = flat.reshape(b, h, w, 1).repeat(1, 1, 1, c)
+            return (z.float() / N_EMBED).permute(0, 3, 1, 2)
+
+    class FakeGumbelVQ:
+        def __init__(self, **params):
+            seen["init_params"] = params
+            self.quantize = FakeQuantize()
+
+        def load_state_dict(self, sd, strict=False):
+            seen["loaded"] = True
+
+        def eval(self):
+            return self
+
+        def encode(self, x):
+            # reference contract: encode(x)[2][2] are the token indices
+            seen["encode_input"] = x
+            b, c, h, w = x.shape
+            f = 4
+            idx = torch.arange(b * (h // f) * (w // f)) % N_EMBED
+            return None, None, (None, None, idx)
+
+        def decode(self, z):
+            # emit [-1, 1] NCHW; channel-3 output like a real VQGAN
+            b, c, h, w = z.shape
+            return z[:, :3] * 2.0 - 1.0
+
+    taming = types.ModuleType("taming")
+    taming_models = types.ModuleType("taming.models")
+    taming_vqgan = types.ModuleType("taming.models.vqgan")
+    taming_vqgan.GumbelVQ = FakeGumbelVQ
+    omegaconf = types.ModuleType("omegaconf")
+
+    class FakeConf:
+        """Attribute/dict hybrid like an OmegaConf node."""
+
+        def __init__(self, d):
+            self._d = d
+
+        def __getattr__(self, k):
+            v = self._d[k]
+            return FakeConf(v) if isinstance(v, dict) else v
+
+        def keys(self):
+            return self._d.keys()
+
+        def __getitem__(self, k):
+            return self._d[k]
+
+    omegaconf.OmegaConf = types.SimpleNamespace(
+        load=lambda path: FakeConf(
+            {
+                "model": {
+                    "params": {
+                        "n_embed": N_EMBED,
+                        "ddconfig": {"z_channels": ZCH},
+                    }
+                }
+            }
+        )
+    )
+    monkeypatch.setitem(sys.modules, "taming", taming)
+    monkeypatch.setitem(sys.modules, "taming.models", taming_models)
+    monkeypatch.setitem(sys.modules, "taming.models.vqgan", taming_vqgan)
+    monkeypatch.setitem(sys.modules, "omegaconf", omegaconf)
+
+    ckpt = tmp_path / "fake.ckpt"
+    torch.save({"state_dict": {}}, str(ckpt))
+
+    from world_modelz_tpu.models.external import (
+        FrameTokenizer,
+        TamingGumbelVQAdapter,
+    )
+
+    tok = TamingGumbelVQAdapter("fake_config.yaml", str(ckpt))
+    assert isinstance(tok, FrameTokenizer)
+    assert tok.num_embeddings == N_EMBED
+    assert seen["loaded"]
+
+    imgs = np.random.default_rng(0).uniform(0, 1, (2, 16, 16, 3)).astype(
+        np.float32
+    )
+    z = tok.encode(imgs)
+    # NHWC [0,1] input must reach the torch model as NCHW [-1,1]
+    assert tuple(seen["encode_input"].shape) == (2, 3, 16, 16)
+    assert float(seen["encode_input"].min()) < -0.5
+    assert z.shape == (2, 4, 4)
+    assert z.max() < N_EMBED
+
+    out = tok.decode(z)
+    assert seen["codebook_shape"] == (2, 4, 4, ZCH)
+    # the fake decoder doesn't upsample; shape checks the NCHW->NHWC permute
+    assert out.shape == (2, 4, 4, 3)
+    assert out.min() >= 0.0 and out.max() <= 1.0

@@ -20,6 +20,19 @@ if not os.path.isdir(REF):  # pragma: no cover
     pytest.skip("reference tree not mounted", allow_module_level=True)
 
 
+def _stub_module(name: str):
+    """Install an empty placeholder for a heavy dependency the reference
+    imports at module scope but the parity test never exercises
+    (torchvision, wandb — unavailable in this environment)."""
+    import types
+
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    mod.__getattr__ = lambda attr: types.SimpleNamespace()  # tolerate use
+    sys.modules[name] = mod
+
+
 @pytest.fixture(scope="module")
 def ref_vq_module():
     sys.path.insert(0, os.path.join(REF, "vq"))
@@ -206,7 +219,7 @@ def test_loss_aware_sampler_parity(rng):
 
 def test_som_adapt_parity(rng):
     """SOM chunked Gaussian adaption vs the reference SomLayer.adapt."""
-    pytest.importorskip("torchvision")  # reference som.py imports it
+    _stub_module("torchvision")  # reference som.py imports it unused here
     sys.path.insert(0, os.path.join(REF, "som-diffusion"))
     try:
         from som import SomLayer as RefSom
@@ -253,13 +266,11 @@ def test_som_adapt_parity(rng):
 
 
 def test_ddpm_alpha_parity():
+    _stub_module("torchvision")
+    _stub_module("wandb")
     sys.path.insert(0, os.path.join(REF, "som-diffusion"))
     try:
-        import importlib
-
-        import train_diffusion as ref_td  # heavy imports guarded below
-    except Exception:
-        pytest.skip("reference train_diffusion not importable")
+        import train_diffusion as ref_td
     finally:
         sys.path.pop(0)
 

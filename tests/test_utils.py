@@ -102,3 +102,19 @@ def test_metric_logger(tmp_path):
     ]
     assert lines[0]["loss"] == 0.5 and lines[0]["ppl"] == 3.0
     assert lines[1]["step"] == 2
+
+
+def test_metric_logger_histogram_and_image(tmp_path):
+    rng = np.random.default_rng(0)
+    logger = MetricLogger(str(tmp_path), "run")
+    logger.log_histogram(10, "sampler_weights", rng.normal(size=500), bins=8)
+    logger.log_image(10, "reconstruction_ema", rng.uniform(0, 1, (16, 16, 3)))
+    logger.close()
+    lines = [
+        json.loads(line) for line in open(tmp_path / "run_metrics.jsonl")
+    ]
+    hist = next(r for r in lines if r.get("histogram") == "sampler_weights")
+    assert sum(hist["counts"]) == 500
+    assert len(hist["edges"]) == len(hist["counts"]) + 1
+    img = next(r for r in lines if r.get("image") == "reconstruction_ema")
+    assert (tmp_path / img["path"]).is_file()

@@ -50,6 +50,7 @@ from world_modelz_tpu.train import (
     loss_aware_init,
     loss_aware_sample,
     loss_aware_update,
+    loss_aware_weights,
     make_optimizer,
     uniform_sample,
     warmup_cosine_schedule,
@@ -105,6 +106,7 @@ class SparseDiffusionConfig:
     p_max_uniform: float = 0.1
     uniform_noise: bool = False
     log_interval: int = 10
+    histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
 
     buffer_size: int = 75_000
     max_segment_length: int = 1000
@@ -446,6 +448,17 @@ def train(cfg: SparseDiffusionConfig):
                 print(
                     f"{step}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
                     f"grad_norm {m['grad_norm']:.3e}"
+                )
+
+            if (
+                cfg.histogram_interval
+                and not cfg.uniform_noise
+                and step % cfg.histogram_interval == 0
+            ):
+                logger.log_histogram(
+                    step,
+                    "sampler_weights",
+                    np.asarray(loss_aware_weights(sampler_state)),
                 )
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:

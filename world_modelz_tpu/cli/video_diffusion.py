@@ -55,6 +55,7 @@ from world_modelz_tpu.train import (
     loss_aware_init,
     loss_aware_sample,
     loss_aware_update,
+    loss_aware_weights,
     make_optimizer,
     warmup_cosine_schedule,
 )
@@ -105,6 +106,7 @@ class VideoDiffusionConfig:
     num_eval_iterations: int = 30
     p_max_uniform: float = 0.1
     log_interval: int = 10
+    histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
 
     dim: int = 256
     extents: Tuple[int, int, int] = (3, 3, 3)
@@ -476,6 +478,13 @@ def train(cfg: VideoDiffusionConfig):
                 print(
                     f"{step}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
                     f"grad_norm {m['grad_norm']:.3e}"
+                )
+
+            if cfg.histogram_interval and step % cfg.histogram_interval == 0:
+                logger.log_histogram(
+                    step,
+                    "sampler_weights",
+                    np.asarray(loss_aware_weights(sampler_state)),
                 )
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:

@@ -33,7 +33,18 @@ def sample_flat_positions(
     volume: int,
 ) -> jnp.ndarray:
     """(B, N) distinct flat positions drawn uniformly from [0, volume)
-    (sparse_diffusion.py:31-41; requires context_length <= volume)."""
+    (sparse_diffusion.py:31-41; requires context_length <= volume).
+
+    DELIBERATE DEVIATION from the reference: it slices a SINGLE randperm of
+    the volume across the whole batch (rows are mutually disjoint until the
+    permutation is exhausted, then a fresh one is drawn mid-row); here each
+    row is an independent uniform sample without replacement. Within a row
+    both are identical (uniform w/o replacement); across rows the reference
+    couples samples as an artifact of its fill loop. The independent form
+    matches the documented intent ("random token subsets"), jits with fixed
+    shapes, and removes the cross-row coupling. Training only ever uses
+    sampling_type="neighbors" (sample_time_dependent) by default, where the
+    reference is per-row independent too."""
     keys = jax.random.split(key, batch_size)
 
     def one(k):
