@@ -60,6 +60,30 @@ def test_video_diffusion_cli(tokenizer_ckpt, tmp_path):
     assert any(f.endswith("_base.gif") for f in files)
 
 
+def test_video_diffusion_cli_sequence_parallel(tokenizer_ckpt, tmp_path):
+    """Training with --n_seq 2: frame axis sharded over the mesh's 'seq'
+    axis through the halo-exchange attention (parallel/sequence.py)."""
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = VideoDiffusionConfig(
+        dataset="synthetic", decoder_model=tokenizer_ckpt,
+        batch_size=8, n_past=3, n_seq=2, image_size=32, max_steps=6,
+        warmup=2, dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16,
+        dim_head=8, heads=2, eval_interval=6, eval_timesteps=1,
+        eval_batch_size=2, num_eval_iterations=2, checkpoint_interval=6,
+        log_interval=3, histogram_interval=0, buffer_size=150,
+        output_dir=out, name="vds",
+    )
+    train(cfg)
+    files = os.listdir(out)
+    assert any(f.startswith("step_") for f in files)
+    assert any(f.endswith("_base.png") for f in files)
+
+
 def test_sparse_diffusion_cli(tokenizer_ckpt, tmp_path):
     from world_modelz_tpu.cli.sparse_diffusion import (
         SparseDiffusionConfig,

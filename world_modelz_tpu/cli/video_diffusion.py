@@ -44,6 +44,7 @@ from world_modelz_tpu.models.video import VqVideoDiffusionModel
 from world_modelz_tpu.parallel import (
     DEFAULT_TP_RULES,
     batch_sharding,
+    clip_sharding,
     make_mesh,
     replicated,
     shard_params,
@@ -120,6 +121,7 @@ class VideoDiffusionConfig:
     skip_frames: int = 2
 
     n_model: int = 1
+    n_seq: int = 1  # sequence-parallel shards of the frame axis
     wandb: bool = False
     project: str = "vq-video-diffusion"
     tags: str = ""
@@ -167,8 +169,14 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
 
 
 def make_model(
-    cfg: VideoDiffusionConfig, token_shape: Tuple[int, int, int], num_embeddings: int
+    cfg: VideoDiffusionConfig,
+    token_shape: Tuple[int, int, int],
+    num_embeddings: int,
+    mesh=None,
 ) -> VqVideoDiffusionModel:
+    """With `mesh` given and cfg.n_seq > 1, the frame axis of the attention
+    stack is sharded over the mesh's 'seq' axis (context parallelism)."""
+    seq = mesh is not None and cfg.n_seq > 1
     return VqVideoDiffusionModel(
         data_shape=token_shape,
         dim=cfg.dim,
@@ -179,6 +187,8 @@ def make_model(
         dim_head=cfg.dim_head,
         heads=cfg.heads,
         dropout=cfg.dropout,
+        seq_axis="seq" if seq else "",
+        seq_mesh=mesh if seq else None,
     )
 
 
@@ -254,13 +264,26 @@ def train(cfg: VideoDiffusionConfig):
         jax.config.update("jax_platforms", cfg.platform)
     if not cfg.decoder_model:
         raise ValueError("--decoder_model (tokenizer checkpoint) is required")
-    mesh = make_mesh(n_model=cfg.n_model)
+    mesh = make_mesh(n_model=cfg.n_model, n_seq=cfg.n_seq)
     n_data = mesh.shape["data"]
     if cfg.batch_size % n_data != 0:
         raise ValueError(
             f"batch_size {cfg.batch_size} must be divisible by the "
             f"data-parallel axis ({n_data} devices)"
         )
+    if cfg.n_seq > 1:
+        clip_len = cfg.n_past + 1
+        if clip_len % cfg.n_seq != 0:
+            raise ValueError(
+                f"n_past+1 ({clip_len} frames) must be divisible by "
+                f"n_seq ({cfg.n_seq})"
+            )
+        if clip_len // cfg.n_seq < cfg.extents[0]:
+            raise ValueError(
+                f"sequence shards of {clip_len // cfg.n_seq} frames are "
+                f"shorter than the temporal extent {cfg.extents[0]}; "
+                "use fewer sequence shards"
+            )
 
     tok, tok_state, tok_cfg = load_tokenizer(cfg.decoder_model)
     num_embeddings = tok.num_embeddings
@@ -281,9 +304,12 @@ def train(cfg: VideoDiffusionConfig):
     token_shape = (s, z.shape[1], z.shape[2])
     print("token grid:", token_shape)
 
-    model = make_model(cfg, token_shape, num_embeddings)
+    model = make_model(cfg, token_shape, num_embeddings, mesh=mesh)
+    # init + eval/rollout use the plain (unsharded) module: identical params,
+    # no shard_map batch-divisibility constraints on tiny batches
+    eval_model = make_model(cfg, token_shape, num_embeddings)
     key = jax.random.PRNGKey(cfg.manual_seed)
-    params = model.init(
+    params = eval_model.init(
         key, jnp.zeros((1,) + token_shape, jnp.int32)
     )["params"]
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
@@ -334,7 +360,7 @@ def train(cfg: VideoDiffusionConfig):
 
     if cfg.eval:
         evaluate_and_save(
-            cfg=cfg, model=model, params=params, tok=tok,
+            cfg=cfg, model=eval_model, params=params, tok=tok,
             tok_state=tok_state, clip_fn=clip_fn, key=key, tag="base",
             step=start_step, save_frames=True,
         )
@@ -413,7 +439,7 @@ def train(cfg: VideoDiffusionConfig):
     batches = PrefetchIterator(
         lambda: clip_fn(cfg.batch_size),
         depth=2,
-        sharding=batch_sharding(mesh),
+        sharding=clip_sharding(mesh),
     )
     logger = MetricLogger(
         cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
@@ -508,7 +534,7 @@ def train(cfg: VideoDiffusionConfig):
                 for tag, p in evals:
                     key, sub = jax.random.split(key)
                     evaluate_and_save(
-                        cfg=cfg, model=model, params=p, tok=tok,
+                        cfg=cfg, model=eval_model, params=p, tok=tok,
                         tok_state=tok_state, clip_fn=clip_fn, key=sub,
                         tag=tag, step=step, logger=logger,
                     )

@@ -263,6 +263,10 @@ class Local3dAttention(nn.Module):
     use_checkpointing: bool = True
     # "auto" = fused Pallas kernel on TPU, XLA elsewhere; or force either
     backend: str = "auto"
+    # sequence parallelism: shard the frame axis over `seq_mesh[seq_axis]`
+    # via halo-exchange attention (parallel/sequence.py). Overrides backend.
+    seq_axis: str = ""
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(
@@ -277,6 +281,31 @@ class Local3dAttention(nn.Module):
         k = nn.Dense(inner, use_bias=False, name="to_k")(x)
         v = nn.Dense(inner, use_bias=True, name="to_v")(x)
         qp = nn.Dense(inner, use_bias=False, name="to_q")(q)
+
+        if self.seq_axis:
+            if self.seq_mesh is None:
+                raise ValueError(
+                    "seq_axis set but no seq_mesh given; pass the device "
+                    "mesh carrying the sequence axis"
+                )
+            from world_modelz_tpu.parallel.sequence import (
+                seq_sharded_attention,
+            )
+
+            attend = functools.partial(
+                seq_sharded_attention,
+                extents=self.extents,
+                heads=self.heads,
+                mesh=self.seq_mesh,
+                axis_name=self.seq_axis,
+            )
+            if self.use_checkpointing:
+                attend = jax.checkpoint(attend)
+            out = attend(qp, k, v)
+            if project_out:
+                out = nn.Dense(dim, name="to_out")(out)
+                out = nn.Dropout(self.dropout, deterministic=not train)(out)
+            return out
 
         backend = self.backend
         if backend == "auto":
@@ -337,6 +366,8 @@ class Local3dAttentionTransformer(nn.Module):
     dropout: float = 0.0
     use_checkpointing: bool = True
     backend: str = "auto"
+    seq_axis: str = ""
+    seq_mesh: object = None
 
     def get_pos_embedding(
         self, s: int, h: int, w: int
@@ -367,6 +398,8 @@ class Local3dAttentionTransformer(nn.Module):
                 dropout=self.dropout,
                 use_checkpointing=self.use_checkpointing,
                 backend=self.backend,
+                seq_axis=self.seq_axis,
+                seq_mesh=self.seq_mesh,
                 name=f"attn_{i}",
             )
             for i in range(self.depth)

@@ -41,6 +41,8 @@ class VqVideoDiffusionModel(nn.Module):
     dropout: float = 0.0
     use_checkpointing: bool = True
     backend: str = "auto"  # attention backend: "auto" | "xla" | "pallas"
+    seq_axis: str = ""  # sequence parallelism (parallel/sequence.py)
+    seq_mesh: object = None
 
     @nn.compact
     def __call__(self, tokens: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -56,6 +58,8 @@ class VqVideoDiffusionModel(nn.Module):
             dropout=self.dropout,
             use_checkpointing=self.use_checkpointing,
             backend=self.backend,
+            seq_axis=self.seq_axis,
+            seq_mesh=self.seq_mesh,
             name="transformer",
         )(tokens, train=train)
         last_frames = x[:, -1]  # (B, H, W, dim) (main2.py:36)

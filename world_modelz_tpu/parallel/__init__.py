@@ -3,6 +3,7 @@
 from world_modelz_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    clip_sharding,
     replicated,
     shard_params,
     DEFAULT_TP_RULES,
@@ -10,6 +11,7 @@ from world_modelz_tpu.parallel.mesh import (
 from world_modelz_tpu.parallel.sequence import (
     local3d_attention_seq,
     make_seq_sharded_attention,
+    seq_sharded_attention,
 )
 from world_modelz_tpu.parallel.distributed import (
     initialize_distributed,
@@ -19,11 +21,13 @@ from world_modelz_tpu.parallel.distributed import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "clip_sharding",
     "replicated",
     "shard_params",
     "DEFAULT_TP_RULES",
     "local3d_attention_seq",
     "make_seq_sharded_attention",
+    "seq_sharded_attention",
     "initialize_distributed",
     "shard_host_batch",
 ]

@@ -32,22 +32,35 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
+    n_seq: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a ('data', 'model') mesh.
+    """Create a ('data', 'model') mesh, or ('data', 'seq', 'model') when
+    sequence parallelism is requested (n_seq > 1).
 
     With no arguments: all visible devices on the data axis (pure DP).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // n_model
-    used = n_data * n_model
+        n_data = len(devices) // (n_model * n_seq)
+    used = n_data * n_seq * n_model
+    if n_seq > 1:
+        grid = np.array(devices[:used]).reshape(n_data, n_seq, n_model)
+        return Mesh(grid, ("data", "seq", "model"))
     grid = np.array(devices[:used]).reshape(n_data, n_model)
     return Mesh(grid, ("data", "model"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch) axis over 'data', replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def clip_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (B, S, ...) video clips: batch over 'data', frames over 'seq'
+    when the mesh carries a sequence axis."""
+    if "seq" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "seq"))
     return NamedSharding(mesh, P("data"))
 
 

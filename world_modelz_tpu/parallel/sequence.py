@@ -133,6 +133,46 @@ def local3d_attention_seq(
     )
 
 
+def seq_sharded_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    extents: Tuple[int, int, int],
+    heads: int,
+    mesh,
+    axis_name: str = "seq",
+    batch_axis: str = "data",
+) -> jnp.ndarray:
+    """Global-view drop-in for `models.attention.local3d_attention` with the
+    frame axis sharded over ``mesh[axis_name]`` (context parallelism).
+
+    Composable with data parallelism: the batch axis keeps its `batch_axis`
+    sharding inside the shard_map (specs mention both axes). Differentiable —
+    the halo ppermutes transpose to the reverse permutation in the backward
+    pass, so this can sit inside a training step. Inner feature dims ride
+    unsharded through the attention; tensor-parallel param rules still apply
+    to the surrounding projections.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    b_ax = batch_axis if batch_axis in mesh.axis_names else None
+    spec = P(b_ax, axis_name)
+    fn = functools.partial(
+        local3d_attention_seq,
+        extents=extents,
+        heads=heads,
+        axis_name=axis_name,
+        global_seq=q.shape[1],
+    )
+    return jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
 def make_seq_sharded_attention(
     mesh, extents: Tuple[int, int, int], heads: int, global_seq: int,
     axis_name: str = "data",

@@ -50,6 +50,7 @@ def save_checkpoint(
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
+    directory = os.path.abspath(directory)
     if not os.path.isdir(directory):
         return None
     steps = sorted(
@@ -66,6 +67,7 @@ def restore_checkpoint(
     `target` (optional) gives the pytree structure/dtypes to restore into —
     pass the abstract state from a fresh init for sharded restores.
     """
+    path = os.path.abspath(path)  # orbax/tensorstore requires absolute
     ckptr = ocp.PyTreeCheckpointer()
     if target is not None:
         state = ckptr.restore(path, item=jax.device_get(target))
