@@ -313,17 +313,17 @@ class Local3dAttention(nn.Module):
                 "pallas" if jax.default_backend() == "tpu" else "xla"
             )
         if backend == "pallas":
-            from world_modelz_tpu.kernels.local3d import fits_vmem
+            from world_modelz_tpu.kernels.local3d import kernel_supported
 
             s_, h_, w_ = x.shape[1:4]
-            if not fits_vmem(s_, h_, w_, self.extents, self.dim_head):
+            if not kernel_supported(s_, h_, w_, self.extents, self.dim_head):
                 if self.backend == "pallas":
                     raise ValueError(
                         "local3d pallas kernel working set exceeds VMEM for "
-                        f"grid {h_}x{w_} extents {self.extents}; use "
-                        "backend='xla'"
+                        f"grid {h_}x{w_} extents {self.extents} (no valid "
+                        "H-tile); use backend='xla'"
                     )
-                backend = "xla"  # auto: silent fallback
+                backend = "xla"  # auto: fallback
         if backend == "pallas":
             from world_modelz_tpu.kernels.local3d import (
                 local3d_attention_pallas,
