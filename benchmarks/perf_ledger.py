@@ -1,0 +1,430 @@
+"""Machine-readable perf ledger: every benchmark as one JSON artifact + MFU.
+
+Runs the framework's benchmark suite (tokenizer encode/decode/roundtrip, VQ
+kernels, local-3D attention kernels, model #3 train step, denoise forward)
+with the honest chained-scan + value-readback methodology (see bench.py
+docstring — on relayed TPU backends `block_until_ready` is an enqueue fence,
+so only a value readback clocks compute), scores each measurement against an
+analytic FLOPs model (utils/flops.py) and the chip's bf16 roofline, and
+merges the results into `artifacts/perf_ledger.json`.
+
+Sections are selectable because each costs several remote compiles:
+
+    python benchmarks/perf_ledger.py tokenize vq attn train denoise
+    python benchmarks/perf_ledger.py tokenize --platform cpu   # smoke
+
+Entry schema: {name, backend, device, ms, flops, mfu_pct, bytes_note,
+config, ts}. `mfu_pct` is null off-TPU.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from world_modelz_tpu.utils import flops as F
+
+OUT_DEFAULT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts",
+    "perf_ledger.json",
+)
+
+ITERS = (5, 25)
+TRIALS = 3
+QUICK = False
+
+
+def timed_chain(step_fn: Callable, x0, iters=ITERS, trials=TRIALS) -> float:
+    """Seconds per iteration of step_fn (pytree -> same-structure pytree)."""
+
+    @functools.partial(jax.jit, static_argnames="n")
+    def chained(x, n):
+        def body(x, _):
+            return step_fn(x), ()
+
+        final, _ = jax.lax.scan(body, x, None, length=n)
+        leaves = jax.tree_util.tree_leaves(final)
+        return sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+
+    times = {}
+    for n in iters:
+        float(chained(x0, n))  # compile + warm
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.perf_counter()
+            float(chained(x0, n))
+            best = min(best, time.perf_counter() - t0)
+        times[n] = best
+    return (times[iters[1]] - times[iters[0]]) / (iters[1] - iters[0])
+
+
+class Ledger:
+    def __init__(self, path: str):
+        self.path = path
+        self.entries = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                for e in json.load(f).get("entries", []):
+                    self.entries[e["name"]] = e
+        self.peak = F.device_peak()
+
+    def record(self, name: str, seconds: float, flops: int, **config):
+        peak = self.peak["bf16_flops"] if self.peak else None
+        e = {
+            "name": name,
+            "device": (self.peak or {}).get(
+                "device", jax.devices()[0].device_kind
+            ),
+            "ms": round(seconds * 1e3, 4),
+            "flops": int(flops),
+            "tflops_per_sec": round(flops / seconds / 1e12, 2),
+            "mfu_pct": (
+                round(F.mfu(flops, seconds, peak), 2) if peak else None
+            ),
+            "config": config,
+            "ts": int(time.time()),
+        }
+        self.entries[name] = e
+        print(json.dumps(e))
+        return e
+
+    def save(self):
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        entries = sorted(self.entries.values(), key=lambda e: e["name"])
+        with open(self.path, "w") as f:
+            json.dump(
+                {"device": (self.peak or {}).get("device"), "entries": entries},
+                f,
+                indent=1,
+            )
+        print(f"[ledger] {len(entries)} entries -> {self.path}")
+
+
+# --------------------------------------------------------------------------
+# tokenizer: encode / decode / roundtrip at the headline-bench shape
+# --------------------------------------------------------------------------
+
+TOK = dict(
+    embedding_dim=64, num_embeddings=512, downscale_steps=3, hidden_planes=128
+)
+TOK_BATCH, TOK_IMG, TOK_C = 256, 64, 3
+
+
+def _tokenizer():
+    from world_modelz_tpu.models import VQAutoEncoder
+
+    tok = VQAutoEncoder(in_channels=TOK_C, **TOK)
+    state = tok.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, TOK_IMG, TOK_IMG, TOK_C))
+    )
+    state = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+        else x,
+        state,
+    )
+    return tok, state
+
+
+def sec_tokenize(led: Ledger):
+    tok, state = _tokenizer()
+    hw = (TOK_IMG, TOK_IMG)
+    lat = tok.token_grid_shape(hw)
+    n_lat = TOK_BATCH * lat[0] * lat[1]
+    f_enc = TOK_BATCH * F.vqae_encode_flops(
+        hw, TOK_C, TOK["embedding_dim"], TOK["hidden_planes"],
+        TOK["downscale_steps"],
+    ) + F.vq_search_flops(n_lat, TOK["num_embeddings"], TOK["embedding_dim"])
+    f_dec = TOK_BATCH * F.vqae_decode_flops(
+        hw, TOK_C, TOK["embedding_dim"], TOK["hidden_planes"],
+        TOK["downscale_steps"],
+    )
+    key = jax.random.PRNGKey(1)
+    frames = jax.random.uniform(
+        key, (TOK_BATCH, TOK_IMG, TOK_IMG, TOK_C), jnp.bfloat16
+    )
+    tokens = tok.encode(state, frames)
+
+    def enc_step(x):
+        t = tok.encode(state, x)
+        return x * 0.999 + jnp.mean(t.astype(x.dtype)) * 1e-6
+
+    def dec_step(t):
+        img = tok.decode(state, t)
+        bump = jnp.sum(img.astype(jnp.float32)).astype(jnp.int32) % 2
+        return (t + 1 + bump) % TOK["num_embeddings"]
+
+    def rt_step(x):
+        return tok.decode(state, tok.encode(state, x))
+
+    s = timed_chain(enc_step, frames)
+    led.record("tokenize/encode", s, f_enc, batch=TOK_BATCH, img=TOK_IMG,
+               fps=round(TOK_BATCH / s, 1))
+    s = timed_chain(dec_step, tokens)
+    led.record("tokenize/decode", s, f_dec, batch=TOK_BATCH, img=TOK_IMG,
+               fps=round(TOK_BATCH / s, 1))
+    s = timed_chain(rt_step, frames)
+    led.record("tokenize/roundtrip", s, f_enc + f_dec, batch=TOK_BATCH,
+               img=TOK_IMG, fps=round(TOK_BATCH / s, 1))
+
+
+# --------------------------------------------------------------------------
+# VQ nearest-codebook kernels
+# --------------------------------------------------------------------------
+
+
+def sec_vq(led: Ledger):
+    from world_modelz_tpu.kernels.vq_kernels import vq_encode_pallas
+    from world_modelz_tpu.ops.vq import VQState, vq_decode, vq_encode
+
+    n, d, k = 16384, 64, 512
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (n, d))
+    codebook = jax.random.normal(key, (1, k, d))
+    state = VQState(
+        codebook=codebook,
+        cluster_size=jnp.ones((1, k)),
+        activation_count=jnp.zeros((1, k)),
+        accumulated_error=jnp.zeros((1, k)),
+    )
+    interp = jax.default_backend() != "tpu"
+    f_idx = F.vq_search_flops(n, k, d)
+    f_q = F.vq_search_flops(n, k, d, one_hot_decode=True)
+
+    def xla_step(x):
+        idx = vq_encode(state, x[:, None, :]).reshape(-1)
+        return vq_decode(state, idx[:, None]).reshape(n, d) * 0.999 + x * 1e-3
+
+    def xla_idx_step(x):
+        idx = vq_encode(state, x[:, None, :]).reshape(-1)
+        return x * 0.999 + jnp.mean(idx.astype(x.dtype)) * 1e-6
+
+    def pal_step(x):
+        _, q = vq_encode_pallas(x, codebook[0], interpret=interp)
+        return q * 0.999 + x * 1e-3
+
+    def pal_idx_step(x):
+        idx, _ = vq_encode_pallas(
+            x, codebook[0], return_quantized=False, interpret=interp
+        )
+        return x * 0.999 + jnp.mean(idx.astype(x.dtype)) * 1e-6
+
+    cfg = dict(n=n, k=k, d=d)
+    led.record("vq/xla_encode_decode", timed_chain(xla_step, x), f_q, **cfg)
+    led.record("vq/xla_index_only", timed_chain(xla_idx_step, x), f_idx, **cfg)
+    led.record("vq/pallas_encode_decode", timed_chain(pal_step, x), f_q, **cfg)
+    led.record(
+        "vq/pallas_index_only", timed_chain(pal_idx_step, x), f_idx, **cfg
+    )
+
+    # full training quantize pass: search + straight-through + EMA stats
+    from world_modelz_tpu.ops.vq import vq_apply, vq_apply_fused
+
+    f_train = 3 * F.vq_search_flops(n, k, d)  # scores + one-hot decode + dw
+
+    def xla_train_step(x):
+        out, _ = vq_apply(state, x[:, None, :], train=True)
+        return out.quantized[:, 0, :] * 0.999 + x * 1e-3
+
+    def pal_train_step(x):
+        out, _ = vq_apply_fused(
+            state, x[:, None, :], train=True, interpret=interp
+        )
+        return out.quantized[:, 0, :] * 0.999 + x * 1e-3
+
+    led.record(
+        "vq/xla_train_apply", timed_chain(xla_train_step, x), f_train, **cfg
+    )
+    led.record(
+        "vq/pallas_train_fused", timed_chain(pal_train_step, x), f_train, **cfg
+    )
+
+
+# --------------------------------------------------------------------------
+# local-3D attention kernels
+# --------------------------------------------------------------------------
+
+
+def sec_attn(led: Ledger):
+    from world_modelz_tpu.kernels.local3d import local3d_attention_pallas
+    from world_modelz_tpu.models.attention import local3d_attention
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def one(tag, b, s, h, w, inner, extents, heads):
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (b, s, h, w, inner))
+        k = jax.random.normal(key, (b, s, h, w, inner))
+        v = jax.random.normal(key, (b, s, h, w, inner))
+        fl = F.local3d_attention_flops(b * s * h * w, extents, inner)
+        cfg = dict(b=b, s=s, hw=f"{h}x{w}", inner=inner, extents=extents)
+
+        led.record(
+            f"attn/{tag}/xla",
+            timed_chain(lambda q: local3d_attention(q, k, v, extents, heads), q),
+            fl,
+            **cfg,
+        )
+        if on_tpu:
+            led.record(
+                f"attn/{tag}/pallas",
+                timed_chain(
+                    lambda q: local3d_attention_pallas(q, k, v, extents, heads),
+                    q,
+                ),
+                fl,
+                **cfg,
+            )
+
+    if QUICK:
+        one("m3", 1, 3, 8, 8, 32, (1, 1, 1), 1)
+        return
+    one("m3", 8, 6, 16, 16, 128, (3, 1, 1), 1)  # model #3 scale
+    one("sparse32", 2, 32, 16, 16, 128, (3, 1, 1), 1)  # minecraft volume
+    one("sber", 2, 16, 32, 32, 128, (3, 1, 1), 1)  # Sber 32x32 (H-tiled)
+
+
+# --------------------------------------------------------------------------
+# model #3 train step + denoise forward
+# --------------------------------------------------------------------------
+
+M3 = dict(dim=384, depth=20, dim_head=128, mlp_dim=512, heads=1,
+          extents=(3, 1, 1))
+M3_SHAPE = (6, 16, 16)
+M3_B, M3_K = 8, 512
+
+
+def _m3(backend, use_ckpt):
+    from world_modelz_tpu.models.video import VqVideoDiffusionModel
+
+    model = VqVideoDiffusionModel(
+        data_shape=M3_SHAPE,
+        num_classes=M3_K,
+        backend=backend,
+        use_checkpointing=use_ckpt,
+        **M3,
+    )
+    key = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(key, (M3_B, *M3_SHAPE), 0, M3_K + 1)
+    params = model.init(key, tokens)["params"]
+    return model, params, tokens
+
+
+def sec_train(led: Ledger):
+    import optax
+
+    fwd = F.local3d_transformer_flops(
+        M3_B, M3_SHAPE, num_classes=M3_K, **M3
+    )
+    backends = ["xla"] + (["pallas"] if jax.default_backend() == "tpu" else [])
+    for backend in backends:
+        model, params, tokens = _m3(backend, use_ckpt=(backend == "xla"))
+        target = jax.random.randint(
+            jax.random.PRNGKey(1), (M3_B, 16, 16), 0, M3_K
+        )
+        opt = optax.adamw(1e-4)
+        opt_state = opt.init(params)
+
+        def train_step(carry):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32
+                    else x,
+                    p,
+                )
+                logits = model.apply({"params": p}, tokens).astype(
+                    jnp.float32
+                )
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits.reshape(-1, M3_K), target.reshape(-1)
+                ).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_opt)
+
+        s = timed_chain(train_step, (params, opt_state), iters=(2, 8))
+        led.record(
+            f"train_step/m3/{backend}+bf16",
+            s,
+            F.train_step_flops(fwd, checkpointed=True),
+            batch=M3_B,
+            steps_per_sec=round(1 / s, 1),
+            **{k: v for k, v in M3.items() if k != "extents"},
+        )
+
+
+def sec_denoise(led: Ledger):
+    fwd = F.local3d_transformer_flops(M3_B, M3_SHAPE, num_classes=M3_K, **M3)
+    backends = ["xla"] + (["pallas"] if jax.default_backend() == "tpu" else [])
+    for backend in backends:
+        model, params, tokens = _m3(backend, use_ckpt=False)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            params,
+        )
+
+        def denoise_step(tokens):
+            logits = model.apply({"params": params}, tokens)
+            draw = jnp.argmax(logits, axis=-1).astype(tokens.dtype)
+            return tokens.at[:, -1].set(draw)
+
+        s = timed_chain(denoise_step, tokens, iters=(3, 13))
+        led.record(
+            f"denoise_fwd/m3/{backend}",
+            s,
+            fwd,
+            batch=M3_B,
+            fwd_per_sec=round(1 / s, 1),
+        )
+
+
+SECTIONS = {
+    "tokenize": sec_tokenize,
+    "vq": sec_vq,
+    "attn": sec_attn,
+    "train": sec_train,
+    "denoise": sec_denoise,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("sections", nargs="*", default=[])
+    p.add_argument("--platform", default="")
+    p.add_argument("--out", default=OUT_DEFAULT)
+    p.add_argument(
+        "--quick",
+        action="store_true",
+        help="tiny shapes / short chains — CPU smoke only, numbers meaningless",
+    )
+    args = p.parse_args(argv)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if args.quick:
+        global TOK_BATCH, TOK_IMG, ITERS, TRIALS, M3, M3_B, QUICK
+        QUICK = True
+        TOK_BATCH, TOK_IMG, ITERS, TRIALS = 8, 32, (2, 4), 1
+        M3 = dict(M3, dim=64, depth=2, dim_head=32, mlp_dim=64)
+        M3_B = 2
+    sections = args.sections or list(SECTIONS)
+    print("backend:", jax.default_backend())
+    led = Ledger(args.out)
+    for name in sections:
+        SECTIONS[name](led)
+        led.save()  # incremental: survive relay kills mid-suite
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,120 @@ def test_vq_kernel_ragged_n(rng):
     assert q.shape == (37, 8)
 
 
+def test_vq_train_stats_kernel_matches_xla(rng):
+    """Fused search+stats kernel vs the vq_apply internals: indices,
+    quantized, per-code counts, error sums, raw dw — ragged N included."""
+    from world_modelz_tpu.kernels.vq_kernels import vq_train_stats_pallas
+
+    K, D, N = 24, 16, 75  # ragged vs tile_n=32
+    state = _vq_state(rng, K=K, D=D)
+    x = jnp.asarray(rng.normal(size=(N, D)).astype(np.float32))
+
+    idx, q, cnt, err, dw = vq_train_stats_pallas(
+        x, state.codebook[0], tile_n=32, interpret=True
+    )
+
+    idx_ref = vq_encode(state, x[:, None, :]).reshape(-1)
+    q_ref = vq_decode(state, idx_ref[:, None]).reshape(N, D)
+    onehot = jax.nn.one_hot(idx_ref, K)
+    cnt_ref = jnp.sum(onehot, axis=0)
+    sq = jnp.sum((q_ref - x) ** 2, axis=-1)
+    err_ref = jnp.einsum("n,nk->k", sq, onehot)
+    dw_ref = jnp.einsum("nk,nd->kd", onehot, x)
+
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(q), np.asarray(q_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_ref), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(err), np.asarray(err_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dw), np.asarray(dw_ref), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_tokenizer_pallas_vq_backend_matches_xla(rng):
+    """VQAutoEncoder with vq_backend='pallas' (fused encode + train kernels,
+    interpret mode on CPU) produces identical tokens and matching forward
+    results to the XLA backend."""
+    import dataclasses
+
+    from world_modelz_tpu.models import VQAutoEncoder
+
+    tok = VQAutoEncoder(
+        embedding_dim=8, num_embeddings=16, downscale_steps=1,
+        hidden_planes=8, in_channels=1,
+    )
+    tok_p = dataclasses.replace(tok, vq_backend="pallas")
+    x = jnp.asarray(rng.uniform(size=(2, 8, 8, 1)).astype(np.float32))
+    state = tok.init(jax.random.PRNGKey(0), x)
+
+    np.testing.assert_array_equal(
+        np.asarray(tok.encode(state, x)), np.asarray(tok_p.encode(state, x))
+    )
+
+    recon, out, new_state = tok.forward(state, x, train=True)
+    recon_p, out_p, new_state_p = tok_p.forward(state, x, train=True)
+    np.testing.assert_allclose(
+        np.asarray(recon), np.asarray(recon_p), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(out.commitment_loss), float(out_p.commitment_loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(new_state.vq.codebook),
+        np.asarray(new_state_p.vq.codebook),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_vq_apply_fused_matches_vq_apply(rng):
+    """Full fused training step (state update + losses + gradients) vs
+    vq_apply on identical inputs."""
+    from world_modelz_tpu.ops.vq import vq_apply, vq_apply_fused
+
+    K, D, N = 24, 16, 75
+    state = _vq_state(rng, K=K, D=D)
+    x = jnp.asarray(rng.normal(size=(N, 1, D)).astype(np.float32))
+
+    out_ref, st_ref = vq_apply(state, x, train=True)
+    out, st = vq_apply_fused(state, x, train=True, interpret=True)
+
+    np.testing.assert_array_equal(
+        np.asarray(out.indices), np.asarray(out_ref.indices)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.quantized), np.asarray(out_ref.quantized), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out.commitment_loss), float(out_ref.commitment_loss), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(out.perplexity), float(out_ref.perplexity), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st), jax.tree_util.tree_leaves(st_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+    # gradients through the straight-through path match
+    def loss(fn, x):
+        out, _ = fn(state, x, train=True)
+        return jnp.sum(out.quantized**2) + out.commitment_loss
+
+    g_ref = jax.grad(lambda x: loss(vq_apply, x))(x)
+    g = jax.grad(
+        lambda x: loss(
+            lambda s, x, train: vq_apply_fused(s, x, train=train, interpret=True),
+            x,
+        )
+    )(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), rtol=1e-5)
+
+
 def test_local3d_kernel_matches_xla(rng):
     extents, heads = (1, 1, 1), 2
     b, s, h, w, inner = 2, 4, 4, 4, 16

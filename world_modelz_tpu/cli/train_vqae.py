@@ -62,6 +62,10 @@ class TrainVqaeConfig:
     max_steps: int = 10000
     lr_decay_interval: int = 3000  # reference: halve lr every 3 epochs
 
+    # "xla" | "pallas": fused Pallas VQ search+stats kernels on the
+    # quantizer hot path (single-chip; see models/tokenizer.py)
+    vq_backend: str = "xla"
+
     downscale_steps: int = 3
     embedding_dim: int = 64
     hidden_planes: int = 128
@@ -128,6 +132,7 @@ def make_tokenizer(cfg: TrainVqaeConfig) -> VQAutoEncoder:
         downscale_steps=cfg.downscale_steps,
         hidden_planes=cfg.hidden_planes,
         in_channels=cfg.in_channels,
+        vq_backend=cfg.vq_backend,
     )
 
 

@@ -130,3 +130,129 @@ def vq_encode_pallas(
         cost_estimate=cost,
     )(x, codebook, e_sq)
     return idx[:n, 0], None
+
+
+# ---------------------------------------------------------------------------
+# Fused VQ + EMA-statistics training kernel (SURVEY.md §7 step 6a)
+# ---------------------------------------------------------------------------
+
+
+def _vq_train_kernel(
+    n_valid, x_ref, e_ref, e_sq_ref, idx_ref, q_ref, cnt_ref, err_ref, dw_ref
+):
+    """One tile of the fused training pass.
+
+    Per (TN, D) input tile: scores matmul -> argmin -> one-hot (in VMEM,
+    never written to HBM — the XLA path materializes the (N, K) one-hot
+    twice, for `onehot_sum` and the `dw` einsum, ~N*K*8 bytes of HBM
+    traffic this kernel eliminates) -> quantized vectors, per-code counts,
+    per-code squared-error sums, and per-code input sums (`dw`), the latter
+    three accumulated across the sequential grid into single blocks.
+    """
+    i = pl.program_id(0)
+    x = x_ref[:].astype(jnp.float32)  # (TN, D)
+    e = e_ref[:].astype(jnp.float32)  # (K, D)
+    tn, d = x.shape
+    k = e.shape[0]
+
+    scores = jnp.dot(x, e.T, preferred_element_type=jnp.float32)  # (TN, K)
+    dist = e_sq_ref[:] - 2.0 * scores  # |e|^2 - 2 x.e (row-constant |x|^2 off)
+    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TN,)
+    idx_ref[:] = idx[:, None]
+
+    # true squared quantization error: min_k dist + |x|^2 (vq/vq.py:34)
+    x_sq = jnp.sum(x * x, axis=-1)  # (TN,)
+    min_d = jnp.maximum(jnp.min(dist, axis=-1) + x_sq, 0.0)  # (TN,)
+
+    onehot = (
+        idx[:, None] == jax.lax.broadcasted_iota(jnp.int32, (tn, k), 1)
+    ).astype(jnp.float32)
+    # rows beyond the true N are padding: zero their one-hot so they
+    # contribute to nothing (q, cnt, err, dw all flow through onehot)
+    row = i * tn + jax.lax.broadcasted_iota(jnp.int32, (tn,), 0)
+    onehot = onehot * (row < n_valid).astype(jnp.float32)[:, None]
+
+    q_ref[:] = jnp.dot(onehot, e, preferred_element_type=jnp.float32).astype(
+        q_ref.dtype
+    )
+
+    cnt_tile = jnp.sum(onehot, axis=0)[None, :]  # (1, K)
+    err_tile = jnp.sum(onehot * min_d[:, None], axis=0)[None, :]  # (1, K)
+    dw_tile = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)  # (K, D)
+
+    @pl.when(i == 0)
+    def _init():
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+        err_ref[:] = jnp.zeros_like(err_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    cnt_ref[:] += cnt_tile
+    err_ref[:] += err_tile
+    dw_ref[:] += dw_tile
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def vq_train_stats_pallas(
+    x: jnp.ndarray,
+    codebook: jnp.ndarray,
+    *,
+    tile_n: int = 512,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused nearest-code search + EMA-statistics for one training step.
+
+    Single pass over (N, D) inputs against a (K, D) codebook producing
+    everything `ops.vq.vq_apply` needs (vq/vq.py:29-64) without ever
+    writing scores or one-hots to HBM:
+
+    Returns:
+      indices (N,) int32, quantized (N, D) f32 (old codebook — the
+      reference quantizes before the EMA update), counts (K,) f32,
+      err_sums (K,) f32, dw (K, D) f32 (raw per-code input sums).
+
+    Not differentiable — by design: `vq_apply` only ever uses these
+    under `stop_gradient` (straight-through estimator; the commitment
+    loss differentiates `x`, not the quantization). Golden-tested against
+    the XLA path in tests/test_kernels.py.
+    """
+    n, d = x.shape
+    k = codebook.shape[0]
+    pad_n = -n % tile_n
+    if pad_n:
+        x = jnp.pad(x, ((0, pad_n), (0, 0)))
+    n_pad = x.shape[0]
+
+    e_sq = jnp.sum(codebook.astype(jnp.float32) ** 2, axis=-1)[None, :]
+
+    grid = (n_pad // tile_n,)
+    acc = lambda i: (0, 0)  # noqa: E731 — all programs share the block
+    idx, q, cnt, err, dw = pl.pallas_call(
+        functools.partial(_vq_train_kernel, n),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), acc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), acc, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_n, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), acc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), acc, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, d), acc, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((1, k), jnp.float32),
+            jax.ShapeDtypeStruct((k, d), jnp.float32),
+        ],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * n_pad * k * d,
+            bytes_accessed=(n_pad * d * 2 + k * d * 2 + n_pad) * 4,
+            transcendentals=0,
+        ),
+    )(x, codebook, e_sq)
+    return idx[:n, 0], q[:n], cnt[0], err[0], dw

@@ -91,6 +91,14 @@ class VQAutoEncoder:
     in_channels: int = 3
     vq_decay: float = 0.99
     vq_eps: float = 1e-5
+    # "xla" | "pallas": quantizer hot path. "pallas" routes encode through
+    # the index-only fused kernel and training through the fused search+stats
+    # kernel (kernels/vq_kernels.py) — single-chip only; a pallas_call is an
+    # opaque custom call XLA cannot shard, so keep "xla" under pjit dp.
+    vq_backend: str = "xla"
+
+    def _use_pallas_vq(self) -> bool:
+        return self.vq_backend == "pallas"
 
     @property
     def module(self) -> _AEModule:
@@ -143,13 +151,25 @@ class VQAutoEncoder:
             h = self.module.apply(variables, x, train=False, method="encode")
             batch_stats = state.batch_stats
 
-        out, vq_state = vq_apply(
-            state.vq,
-            h,
-            train=train,
-            decay=self.vq_decay,
-            eps=self.vq_eps,
-        )
+        if self._use_pallas_vq():
+            from world_modelz_tpu.ops.vq import vq_apply_fused
+
+            out, vq_state = vq_apply_fused(
+                state.vq,
+                h,
+                train=train,
+                decay=self.vq_decay,
+                eps=self.vq_eps,
+                interpret=jax.default_backend() != "tpu",
+            )
+        else:
+            out, vq_state = vq_apply(
+                state.vq,
+                h,
+                train=train,
+                decay=self.vq_decay,
+                eps=self.vq_eps,
+            )
 
         variables = {"params": state.params, "batch_stats": batch_stats}
         if train:
@@ -175,6 +195,16 @@ class VQAutoEncoder:
         """Images -> int32 token grid (train_vqae.py:45-49). Eval-mode BN."""
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         h = self.module.apply(variables, x, train=False, method="encode")
+        if self._use_pallas_vq():
+            from world_modelz_tpu.kernels.vq_kernels import vq_encode_pallas
+
+            idx, _ = vq_encode_pallas(
+                h.reshape(-1, self.embedding_dim),
+                state.vq.codebook[0],
+                return_quantized=False,
+                interpret=jax.default_backend() != "tpu",
+            )
+            return idx.reshape(h.shape[:-1])
         return vq_encode(state.vq, h)
 
     def decode(self, state: TokenizerState, tokens: jnp.ndarray) -> jnp.ndarray:

@@ -5,6 +5,7 @@ from world_modelz_tpu.ops.vq import (
     VQOutput,
     vq_init,
     vq_apply,
+    vq_apply_fused,
     vq_encode,
     vq_decode,
     vq_reuse_inactive,
@@ -16,6 +17,7 @@ __all__ = [
     "VQOutput",
     "vq_init",
     "vq_apply",
+    "vq_apply_fused",
     "vq_encode",
     "vq_decode",
     "vq_reuse_inactive",

@@ -247,6 +247,93 @@ def vq_apply(
     return out, new_state
 
 
+def vq_apply_fused(
+    state: VQState,
+    x: jnp.ndarray,
+    *,
+    train: bool,
+    decay: float = 0.99,
+    eps: float = 1e-5,
+    laplace_smoothing: bool = True,
+    interpret: bool = False,
+) -> Tuple[VQOutput, VQState]:
+    """`vq_apply` with the Pallas fused search+stats kernel on the hot path.
+
+    Identical semantics to :func:`vq_apply` for the single-latent case; the
+    (N, K) one-hot never touches HBM (kernels/vq_kernels.py). Falls back to
+    the XLA path for multi-latent codebooks. Gradients are exact: the kernel
+    is wrapped in `stop_gradient` and the two differentiable outputs
+    (commitment loss, straight-through `quantized`) are reassembled from `x`
+    outside it — the same places `vq_apply` stops gradients anyway.
+
+    Note for pjit data parallelism: a `pallas_call` is an opaque custom call
+    XLA cannot shard; use :func:`vq_apply` (global-view reductions -> psum)
+    when `x` is sharded over a mesh axis. This path is for the single-chip
+    hot loop.
+    """
+    L, K, D = state.codebook.shape
+    if L != 1:
+        return vq_apply(
+            state, x, train=train, decay=decay, eps=eps,
+            laplace_smoothing=laplace_smoothing,
+        )
+    from world_modelz_tpu.kernels.vq_kernels import vq_train_stats_pallas
+
+    flat_x = _flatten(x, L, D)
+    n = flat_x.shape[0]
+    idx, q, cnt, err, dw = jax.lax.stop_gradient(
+        vq_train_stats_pallas(
+            jax.lax.stop_gradient(flat_x[:, 0, :]),
+            state.codebook[0],
+            interpret=interpret,
+        )
+    )
+    indices = idx[:, None]  # (N, L=1)
+    onehot_sum = cnt[None, :]  # (L, K)
+    quantized = q[:, None, :]  # (N, L, D)
+
+    new_activation = state.activation_count + onehot_sum
+    new_error = state.accumulated_error + err[None, :]
+
+    if train:
+        cluster_size = state.cluster_size * decay + onehot_sum * (1.0 - decay)
+        if laplace_smoothing:
+            total = jnp.sum(cluster_size, axis=-1, keepdims=True)
+            smoothed = (cluster_size + eps) / (total + K * eps) * total
+        else:
+            smoothed = cluster_size
+        dw_n = dw[None, :, :] / smoothed[:, :, None]
+        codebook = state.codebook * decay + dw_n.astype(
+            state.codebook.dtype
+        ) * (1.0 - decay)
+    else:
+        cluster_size = state.cluster_size
+        codebook = state.codebook
+
+    new_state = VQState(
+        codebook=codebook,
+        cluster_size=cluster_size,
+        activation_count=new_activation,
+        accumulated_error=new_error,
+    )
+
+    q_full = quantized.reshape(x.shape).astype(x.dtype)
+    commitment_loss = jnp.mean((jax.lax.stop_gradient(q_full) - x) ** 2)
+    quantized_st = x + jax.lax.stop_gradient(q_full - x)
+
+    avg_probs = onehot_sum / jnp.maximum(n, 1)
+    perplexity = jnp.exp(
+        -jnp.sum(avg_probs * jnp.log(avg_probs + 1e-10)) / L
+    )
+    out = VQOutput(
+        quantized=quantized_st,
+        indices=indices,
+        commitment_loss=commitment_loss,
+        perplexity=perplexity,
+    )
+    return out, new_state
+
+
 def vq_decode_masked(
     state: VQState, indices: jnp.ndarray, mask_token: int
 ) -> jnp.ndarray:
