@@ -105,3 +105,40 @@ def test_tokenizer_jit_forward():
 
     loss, _ = step(state, x)
     assert np.isfinite(float(loss))
+
+
+def test_upscale_skip_projection_commutes():
+    """The low-resolution skip projection (conv1x1 before upsample,
+    models/conv.py) equals the reference order (upsample then conv1x1,
+    autoencoder.py:119-138) with identical parameters."""
+    from flax import linen as nn
+
+    from world_modelz_tpu.models.conv import UpscaleResidual
+
+    class RefOrder(nn.Module):
+        out_planes: int
+
+        @nn.compact
+        def __call__(self, x, *, train: bool):
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(x)
+            h = jax.nn.leaky_relu(h, negative_slope=0.01)
+            h = upsample_2x(h)
+            x = upsample_2x(x)
+            h = nn.Conv(self.out_planes, (3, 3), padding=1, use_bias=True)(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
+            h = jax.nn.leaky_relu(h, negative_slope=0.01)
+            h = nn.Conv(self.out_planes, (3, 3), padding=1, use_bias=True)(h)
+            x = nn.Conv(self.out_planes, (1, 1), use_bias=True)(x)
+            return h + x
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 6, 6, 4)).astype(np.float32))
+    ours = UpscaleResidual(out_planes=8, upsample=True)
+    ref = RefOrder(out_planes=8)
+    vars_ours = ours.init(jax.random.PRNGKey(0), x, train=False)
+    # identical parameter tree structure -> reuse verbatim
+    y_ours = ours.apply(vars_ours, x, train=False)
+    y_ref = ref.apply(vars_ours, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_ours), np.asarray(y_ref), rtol=1e-5, atol=1e-6
+    )

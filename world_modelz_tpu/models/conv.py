@@ -122,13 +122,20 @@ class UpscaleResidual(nn.Module):
         h = leaky_relu(h)
         if self.upsample:
             h = upsample_2x(h)
-            x = upsample_2x(x)
         h = nn.Conv(self.out_planes, (3, 3), padding=1, use_bias=True)(h)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9)(h)
         h = leaky_relu(h)
         h = nn.Conv(self.out_planes, (3, 3), padding=1, use_bias=True)(h)
         if in_planes != self.out_planes or self.upsample:
+            # The reference projects the skip AFTER interpolating
+            # (autoencoder.py:119-121,138); a 1x1 conv (pointwise channel
+            # mix) commutes with per-channel bilinear interpolation, and
+            # interpolating a constant bias is the identity — so project at
+            # LOW resolution first: 1/4 the projection FLOPs, same params,
+            # equal up to float rounding (commute test in test_models.py).
             x = nn.Conv(self.out_planes, (1, 1), use_bias=True)(x)
+        if self.upsample:
+            x = upsample_2x(x)
         return h + x
 
 

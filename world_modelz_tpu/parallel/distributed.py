@@ -28,9 +28,18 @@ def initialize_distributed(
     With no arguments, relies on the cluster environment (TPU pod metadata /
     `JAX_COORDINATOR_ADDRESS` etc.); arguments override for manual setups.
     Call once, before any backend use, in every process.
+
+    On a CPU backend (the DCN-simulation path: N processes x M virtual
+    devices on one machine, tests/test_distributed.py), cross-process
+    collectives need an explicit implementation; gloo ships with jaxlib.
     """
     if num_processes is not None and num_processes <= 1:
         return
+    try:
+        if "cpu" in str(jax.config.jax_platforms or ""):
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older jaxlib without the option; TPU paths never need it
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
