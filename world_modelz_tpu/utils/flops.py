@@ -96,10 +96,11 @@ def vqae_decode_flops(
     f, _, _ = _conv2d(h, w, c, c, 3)  # stem at latent res
     total += f
     for _ in range(downscale_steps):
-        h, w = h * 2, w * 2  # UpscaleResidual works at the upsampled res
+        # skip projection runs at LOW res (models/conv.py commute)
+        f3, _, _ = _conv2d(h, w, c, hidden_planes, 1)
+        h, w = h * 2, w * 2  # UpscaleResidual convs at the upsampled res
         f1, _, _ = _conv2d(h, w, c, hidden_planes, 3)
         f2, _, _ = _conv2d(h, w, hidden_planes, hidden_planes, 3)
-        f3, _, _ = _conv2d(h, w, c, hidden_planes, 1)  # skip projection
         total += f1 + f2 + f3
         c = hidden_planes
     f, _, _ = _conv2d(h, w, c, in_channels, 3)
