@@ -13,6 +13,12 @@ from world_modelz_tpu.parallel.sequence import (
     make_seq_sharded_attention,
     seq_sharded_attention,
 )
+from world_modelz_tpu.parallel.pipeline import (
+    microbatch,
+    pipeline_apply,
+    stack_stage_params,
+    unmicrobatch,
+)
 from world_modelz_tpu.parallel.distributed import (
     initialize_distributed,
     shard_host_batch,
@@ -28,6 +34,10 @@ __all__ = [
     "local3d_attention_seq",
     "make_seq_sharded_attention",
     "seq_sharded_attention",
+    "microbatch",
+    "pipeline_apply",
+    "stack_stage_params",
+    "unmicrobatch",
     "initialize_distributed",
     "shard_host_batch",
 ]

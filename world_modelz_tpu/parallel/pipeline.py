@@ -104,7 +104,6 @@ def pipeline_apply(
         outs = emitted[n_stages - 1 :]
         return jax.lax.psum(outs, axis)
 
-    other = tuple(a for a in mesh.axis_names if a != axis and a != data_axis)
     return jax.shard_map(
         staged,
         mesh=mesh,
