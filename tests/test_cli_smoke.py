@@ -271,6 +271,7 @@ def test_rollout_cli(tokenizer_ckpt, tmp_path):
             checkpoint=f"{out}/step_0000003", batch_size=2, num_frames=2,
             num_eval_iterations=2, output_dir=str(tmp_path / "ro"),
             name="ro", fvd=True, fvd_clips=4, fvd_batch_size=2,
+            gt_metrics=True,
         )
     )
     assert frames.shape[:2] == (2, 2)
@@ -280,3 +281,11 @@ def test_rollout_cli(tokenizer_ckpt, tmp_path):
     with open(tmp_path / "ro" / "ro_fvd.json") as f:
         rec = json.load(f)
     assert rec["clips"] == 4 and np.isfinite(rec["fvd"])
+
+    with open(tmp_path / "ro" / "ro_gt_metrics.json") as f:
+        gt = json.load(f)
+    assert len(gt["per_horizon"]) == 2
+    assert np.isfinite(gt["mean_psnr"]) and np.isfinite(gt["mean_ssim"])
+    # the tokenizer roundtrip bounds any token-space prediction
+    for row in gt["per_horizon"]:
+        assert row["tokenizer_ceiling_psnr"] >= row["psnr"] - 1e-6

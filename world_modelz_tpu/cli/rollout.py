@@ -64,6 +64,10 @@ class RolloutConfig:
     fvd_feature_net: str = "tiny"  # tiny | i3d
     fvd_weights: str = ""  # i3d .npz (or WMZ_I3D_WEIGHTS)
     fvd_batch_size: int = 8  # feature-extraction batch
+    # next-frame prediction quality: roll out from contexts whose true
+    # continuations are held out, report PSNR/SSIM per horizon step (plus
+    # the tokenizer-roundtrip ceiling) to <name>_gt_metrics.json
+    gt_metrics: bool = False
 
 
 def run(cfg: RolloutConfig):
@@ -93,10 +97,16 @@ def run(cfg: RolloutConfig):
     else:
         mesh = None
 
-    def generate(key) -> np.ndarray:
-        """One rollout batch -> (B, num_frames, H, W, C) decoded pixels."""
+    def generate(key, frames=None) -> np.ndarray:
+        """One rollout batch -> (B, num_frames, H, W, C) decoded pixels.
+
+        `frames` overrides the seed clip (B, n_past+1, H, W, C); by default
+        a fresh batch is drawn from the training data source."""
         nonlocal model, params
-        frames = jnp.asarray(clip_fn(cfg.batch_size))
+        if frames is None:
+            frames = jnp.asarray(clip_fn(cfg.batch_size))
+        else:
+            frames = jnp.asarray(frames)
         b, s, hh, ww, c = frames.shape
         tokens = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
         tokens = tokens.reshape(b, s, tokens.shape[1], tokens.shape[2])
@@ -181,6 +191,56 @@ def run(cfg: RolloutConfig):
         print("FVD:", json.dumps(record))
         with open(f"{cfg.output_dir}/{cfg.name}_fvd.json", "w") as f:
             json.dump(record, f)
+
+    if cfg.gt_metrics:
+        from world_modelz_tpu.utils.metrics import psnr, ssim
+
+        # clips long enough to hold the seed AND the true continuation:
+        # generated frame m re-predicts clip index n_past + m
+        # (rollout_frames masks the last seed slot, then shifts)
+        n_past = train_cfg.n_past
+        ext_cfg = dataclasses.replace(
+            train_cfg, n_past=n_past + cfg.num_frames - 1
+        )
+        ext_fn, ext_sampler = build_clip_fn(ext_cfg, cfg.manual_seed + 2)
+        long_clip = np.asarray(ext_fn(cfg.batch_size))
+        if ext_sampler is not None:
+            ext_sampler.close()
+        seed_clip = long_clip[:, : n_past + 1]
+        gt = long_clip[:, n_past : n_past + cfg.num_frames]
+
+        key, sub = jax.random.split(key)
+        pred = generate(sub, frames=seed_clip)  # (B, T, H, W, C)
+
+        # tokenizer-roundtrip ceiling: the best any token-space model can do
+        bt = gt.reshape(-1, *gt.shape[2:])
+        ceiling = tok.decode(tok_state, tok.encode(tok_state, jnp.asarray(bt)))
+        ceiling = np.asarray(ceiling).reshape(gt.shape)
+
+        per_step = []
+        for m in range(pred.shape[1]):
+            per_step.append(
+                {
+                    "horizon": m + 1,
+                    "psnr": float(psnr(jnp.asarray(pred[:, m]),
+                                       jnp.asarray(gt[:, m]))),
+                    "ssim": float(ssim(jnp.asarray(pred[:, m]),
+                                       jnp.asarray(gt[:, m]))),
+                    "tokenizer_ceiling_psnr": float(
+                        psnr(jnp.asarray(ceiling[:, m]), jnp.asarray(gt[:, m]))
+                    ),
+                }
+            )
+        record = {
+            "step": step,
+            "clips": int(pred.shape[0]),
+            "per_horizon": per_step,
+            "mean_psnr": float(np.mean([d["psnr"] for d in per_step])),
+            "mean_ssim": float(np.mean([d["ssim"] for d in per_step])),
+        }
+        print("gt_metrics:", json.dumps(record))
+        with open(f"{cfg.output_dir}/{cfg.name}_gt_metrics.json", "w") as f:
+            json.dump(record, f, indent=1)
 
     if sampler is not None:
         sampler.close()
