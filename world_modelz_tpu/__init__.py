@@ -22,6 +22,8 @@ data       host-side input pipelines (MovingMNIST, trajectory buffers, images)
 train      train states, optimizers, EMA, schedules, checkpointing
 parallel   mesh construction and sharding rules
 kernels    Pallas TPU kernels
+serve      batched continuous rollout service (request coalescing, one
+           compiled program)
 cli        command-line entry points mirroring the reference scripts
 """
 
