@@ -349,3 +349,43 @@ def test_local3d_dispatch_tiles_large_grids(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
         )
+
+
+def test_local3d_kernel_bf16_path(rng):
+    """bf16 q/k/v run the MXU-native low-precision path (operands stay
+    bf16, f32 accumulation); values and gradients must track the f32 XLA
+    reference within bf16 tolerance."""
+    extents, heads = (1, 1, 1), 2
+    b, s, h, w, inner = 2, 3, 4, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)), jnp.bfloat16)
+
+    ref = local3d_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32),
+        v.astype(jnp.float32), extents, heads,
+    )
+    out = local3d_attention_pallas(q, k, v, extents, heads, True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref), rtol=0.05, atol=0.05
+    )
+
+    def loss_pal(q, k, v):
+        return jnp.sum(
+            local3d_attention_pallas(q, k, v, extents, heads, True)
+            .astype(jnp.float32) ** 2
+        )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(local3d_attention(q, k, v, extents, heads) ** 2)
+
+    gp = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32)
+    )
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a, np.float32), np.asarray(b_),
+            rtol=0.1, atol=0.25,
+        )

@@ -109,18 +109,17 @@ def _attn_kernel(
     v_refs = refs[1 + ts : 1 + 2 * ts]
     o_ref = refs[1 + 2 * ts]
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (HW, dh)
-    k = jnp.concatenate(
-        [r[0, 0].astype(jnp.float32) for r in k_refs], axis=0
-    )  # (Ts*HW, dh)
-    v = jnp.concatenate(
-        [r[0, 0].astype(jnp.float32) for r in v_refs], axis=0
-    )
+    # operands stay in their input dtype (bf16 on the hot path — the MXU
+    # multiplies bf16 natively; upcasting first would force slow f32
+    # passes); accumulation is f32 via preferred_element_type
+    q = q_ref[0, 0]  # (HW, dh)
+    k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # (Ts*HW, dh)
+    v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
 
     scale = dh**-0.5
     scores = (
         jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    )  # (HW, Ts*HW)
+    )  # (HW, Ts*HW) f32
 
     # in-register mask: spatial window + frame validity
     qi = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 0)
@@ -142,7 +141,7 @@ def _attn_kernel(
     p = jnp.exp(scores - m)
     attn = p / jnp.sum(p, axis=-1, keepdims=True)
     o_ref[0, 0] = jnp.dot(
-        attn, v, preferred_element_type=jnp.float32
+        attn.astype(v.dtype), v, preferred_element_type=jnp.float32
     ).astype(o_ref.dtype)
 
 
@@ -258,14 +257,12 @@ def _attn_kernel_tiled(
     v_refs = refs[1 + 2 * ts : 1 + 4 * ts]
     o_ref = refs[1 + 4 * ts]
 
-    q = q_ref[0, 0].reshape(rows_q, dh).astype(jnp.float32)
+    q = q_ref[0, 0].reshape(rows_q, dh)  # input dtype; f32 accumulate below
     k = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh).astype(jnp.float32) for r in k_refs],
-        axis=0,
+        [r[0, 0].reshape(rows_q, dh) for r in k_refs], axis=0
     )  # (Ts*2*TH*W, dh)
     v = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh).astype(jnp.float32) for r in v_refs],
-        axis=0,
+        [r[0, 0].reshape(rows_q, dh) for r in v_refs], axis=0
     )
 
     scale = dh**-0.5
@@ -276,7 +273,7 @@ def _attn_kernel_tiled(
     p = jnp.exp(scores - m)
     attn = p / jnp.sum(p, axis=-1, keepdims=True)
     o_ref[0, 0] = (
-        jnp.dot(attn, v, preferred_element_type=jnp.float32)
+        jnp.dot(attn.astype(v.dtype), v, preferred_element_type=jnp.float32)
         .reshape(th, width, dh)
         .astype(o_ref.dtype)
     )
@@ -366,16 +363,14 @@ def _bwd_kernel_tiled(
     dk_ref = refs[3 + 4 * ts]
     dv_ref = refs[4 + 4 * ts]
 
-    q = q_ref[0, 0].reshape(rows_q, dh).astype(jnp.float32)
+    q = q_ref[0, 0].reshape(rows_q, dh)  # input dtype; f32 accumulate
     k = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh).astype(jnp.float32) for r in k_refs],
-        axis=0,
+        [r[0, 0].reshape(rows_q, dh) for r in k_refs], axis=0
     )
     v = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh).astype(jnp.float32) for r in v_refs],
-        axis=0,
+        [r[0, 0].reshape(rows_q, dh) for r in v_refs], axis=0
     )
-    g = g_ref[0, 0].reshape(rows_q, dh).astype(jnp.float32)
+    g = g_ref[0, 0].reshape(rows_q, dh)
 
     scale = dh**-0.5
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -387,17 +382,19 @@ def _bwd_kernel_tiled(
 
     dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
     row = jnp.sum(dp * attn, axis=-1, keepdims=True)
-    dscores = attn * (dp - row)
+    dscores = attn * (dp - row)  # f32
+    ds_lo = dscores.astype(q.dtype)  # bf16 operands for the MXU passes
+    at_lo = attn.astype(g.dtype)
 
     dq_ref[0, 0] = (
-        (jnp.dot(dscores, k, preferred_element_type=jnp.float32) * scale)
+        (jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale)
         .reshape(th, width, dh)
         .astype(dq_ref.dtype)
     )
     dk_cat = (
-        jnp.dot(dscores.T, q, preferred_element_type=jnp.float32) * scale
+        jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32) * scale
     )  # (Ts*2*TH*W, dh)
-    dv_cat = jnp.dot(attn.T, g, preferred_element_type=jnp.float32)
+    dv_cat = jnp.dot(at_lo.T, g, preferred_element_type=jnp.float32)
     dk_ref[0, 0, 0] = dk_cat.reshape(2 * ts, th * width, dh).astype(
         dk_ref.dtype
     )
@@ -563,14 +560,10 @@ def _bwd_kernel(
     dk_ref = refs[3 + 2 * ts]
     dv_ref = refs[4 + 2 * ts]
 
-    q = q_ref[0, 0].astype(jnp.float32)  # (HW, dh)
-    k = jnp.concatenate(
-        [r[0, 0].astype(jnp.float32) for r in k_refs], axis=0
-    )  # (Ts*HW, dh)
-    v = jnp.concatenate(
-        [r[0, 0].astype(jnp.float32) for r in v_refs], axis=0
-    )
-    g = g_ref[0, 0].astype(jnp.float32)  # (HW, dh) upstream gradient
+    q = q_ref[0, 0]  # (HW, dh) input dtype; f32 accumulate below
+    k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # (Ts*HW, dh)
+    v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
+    g = g_ref[0, 0]  # (HW, dh) upstream gradient
 
     scale = dh**-0.5
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
@@ -578,21 +571,23 @@ def _bwd_kernel(
     scores = jnp.where(ok, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
-    attn = p / jnp.sum(p, axis=-1, keepdims=True)  # (HW, Ts*HW)
+    attn = p / jnp.sum(p, axis=-1, keepdims=True)  # (HW, Ts*HW) f32
 
     # softmax backward: dS = P * (dP - rowsum(dP * P))
     dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
     row = jnp.sum(dp * attn, axis=-1, keepdims=True)
-    dscores = attn * (dp - row)  # (HW, Ts*HW), zero where masked
+    dscores = attn * (dp - row)  # (HW, Ts*HW) f32, zero where masked
+    ds_lo = dscores.astype(q.dtype)  # bf16 operands for the MXU passes
+    at_lo = attn.astype(g.dtype)
 
     dq_ref[0, 0] = (
-        jnp.dot(dscores, k, preferred_element_type=jnp.float32) * scale
+        jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
     ).astype(dq_ref.dtype)
     dk_cat = (
-        jnp.dot(dscores.T, q, preferred_element_type=jnp.float32) * scale
+        jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32) * scale
     )  # (Ts*HW, dh)
     dv_cat = jnp.dot(
-        attn.T, g, preferred_element_type=jnp.float32
+        at_lo.T, g, preferred_element_type=jnp.float32
     )  # (Ts*HW, dh)
     dk_ref[0, 0] = dk_cat.reshape(ts, hw, dh).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv_cat.reshape(ts, hw, dh).astype(dv_ref.dtype)
