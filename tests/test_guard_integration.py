@@ -100,7 +100,7 @@ def test_video_diffusion_rejects_nan_model(
         def __call__(self, tokens, train=False):
             return super().__call__(tokens, train=train) * jnp.nan
 
-    def make_nan_model(cfg, token_shape, num_embeddings):
+    def make_nan_model(cfg, token_shape, num_embeddings, **kwargs):
         return NaNModel(
             data_shape=token_shape,
             dim=cfg.dim,
