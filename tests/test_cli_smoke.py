@@ -105,6 +105,27 @@ def test_sparse_diffusion_cli(tokenizer_ckpt, tmp_path):
     )
 
 
+def test_sparse_diffusion_cli_pipelined(tokenizer_ckpt, tmp_path):
+    """--n_pipe 2: the transformer depth streams over a 2-stage pipeline
+    (('pipe','data','model') mesh) inside the jitted train step."""
+    from world_modelz_tpu.cli.sparse_diffusion import (
+        SparseDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = SparseDiffusionConfig(
+        decoder_model=tokenizer_ckpt, batch_size=4, eval_batch_size=1,
+        max_steps=3, warmup=2, S=4, H=8, W=8, image_size=32,
+        num_context=16, dim=16, mlp_dim=16, heads=2, depth=2,
+        n_pipe=2, n_micro=2,
+        eval_interval=0, checkpoint_interval=3, buffer_size=120,
+        max_segment_length=60, log_interval=1, output_dir=out, name="sdp",
+    )
+    train(cfg)
+    assert os.path.isdir(os.path.join(out, "step_0000003"))
+
+
 def test_sample_frames_and_make_gif(tmp_path):
     from world_modelz_tpu.cli.make_gif import MakeGifConfig, run as run_gif
     from world_modelz_tpu.cli.sample_frames import (

@@ -120,6 +120,11 @@ class SparseDiffusionConfig:
     change_batch_interval: int = 4
 
     n_model: int = 1
+    # pipeline parallelism over the transformer depth (parallel/pipeline.py):
+    # n_pipe stages stream n_micro microbatches; depth % n_pipe == 0 and
+    # batch_size % n_micro == 0. Deterministic path (dropout 0).
+    n_pipe: int = 1
+    n_micro: int = 4
     wandb: bool = False
     project: str = "sparse_diffusion"
     tags: str = ""
@@ -157,7 +162,7 @@ def decode_volume(
 def train(cfg: SparseDiffusionConfig):
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
-    mesh = make_mesh(n_model=cfg.n_model)
+    mesh = make_mesh(n_model=cfg.n_model, n_pipe=cfg.n_pipe)
     if cfg.tokenizer:
         # external tokenizer plug-in (sparse_diffusion_sber variant)
         from world_modelz_tpu.models.external import make_tokenizer
@@ -304,9 +309,24 @@ def train(cfg: SparseDiffusionConfig):
                     else x,
                     p,
                 )
-            logits = model.apply(
-                {"params": p}, corrupted, indices
-            ).astype(jnp.float32)
+            if cfg.n_pipe > 1:
+                from world_modelz_tpu.parallel.pipelined_sparse import (
+                    sparse_forward_pipelined,
+                )
+
+                mb = b // cfg.n_micro
+                logits = sparse_forward_pipelined(
+                    model, p, corrupted, indices, mesh,
+                    n_micro=cfg.n_micro,
+                    # shard microbatch rows over 'data' when they divide
+                    data_axis="data"
+                    if mb % mesh.shape["data"] == 0
+                    else None,
+                ).astype(jnp.float32)
+            else:
+                logits = model.apply(
+                    {"params": p}, corrupted, indices
+                ).astype(jnp.float32)
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.reshape(-1, num_embeddings), target.reshape(-1)
             )

@@ -33,17 +33,24 @@ def make_mesh(
     n_data: Optional[int] = None,
     n_model: int = 1,
     n_seq: int = 1,
+    n_pipe: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """Create a ('data', 'model') mesh, or ('data', 'seq', 'model') when
-    sequence parallelism is requested (n_seq > 1).
+    """Create a ('data', 'model') mesh; ('data', 'seq', 'model') when
+    sequence parallelism is requested (n_seq > 1); ('pipe', 'data', 'model')
+    when pipeline parallelism is requested (n_pipe > 1).
 
     With no arguments: all visible devices on the data axis (pure DP).
     """
+    if n_pipe > 1 and n_seq > 1:
+        raise ValueError("combine pipe with data/model axes, not seq")
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
-        n_data = len(devices) // (n_model * n_seq)
-    used = n_data * n_seq * n_model
+        n_data = len(devices) // (n_model * n_seq * n_pipe)
+    used = n_data * n_seq * n_model * n_pipe
+    if n_pipe > 1:
+        grid = np.array(devices[:used]).reshape(n_pipe, n_data, n_model)
+        return Mesh(grid, ("pipe", "data", "model"))
     if n_seq > 1:
         grid = np.array(devices[:used]).reshape(n_data, n_seq, n_model)
         return Mesh(grid, ("data", "seq", "model"))
