@@ -42,8 +42,13 @@ TRIALS = 3
 QUICK = False
 
 
-def timed_chain(step_fn: Callable, x0, iters=ITERS, trials=TRIALS) -> float:
-    """Seconds per iteration of step_fn (pytree -> same-structure pytree)."""
+def timed_chain(step_fn: Callable, x0, iters=None, trials=None) -> float:
+    """Seconds per iteration of step_fn (pytree -> same-structure pytree).
+
+    `iters`/`trials` default to the module globals AT CALL time so --quick
+    (which reassigns them in main()) actually shortens every chain."""
+    iters = ITERS if iters is None else iters
+    trials = TRIALS if trials is None else trials
 
     @functools.partial(jax.jit, static_argnames="n")
     def chained(x, n):
@@ -185,7 +190,7 @@ def sec_vq(led: Ledger):
     from world_modelz_tpu.kernels.vq_kernels import vq_encode_pallas
     from world_modelz_tpu.ops.vq import VQState, vq_decode, vq_encode
 
-    n, d, k = 16384, 64, 512
+    n, d, k = (512, 16, 64) if QUICK else (16384, 64, 512)
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (n, d))
     codebook = jax.random.normal(key, (1, k, d))

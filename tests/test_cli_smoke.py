@@ -307,6 +307,9 @@ def test_rollout_cli(tokenizer_ckpt, tmp_path):
         gt = json.load(f)
     assert len(gt["per_horizon"]) == 2
     assert np.isfinite(gt["mean_psnr"]) and np.isfinite(gt["mean_ssim"])
-    # the tokenizer roundtrip bounds any token-space prediction
+    # the tokenizer roundtrip heuristically bounds token-space prediction
+    # quality; encode argmins in LATENT space so this is not a strict pixel
+    # PSNR bound — allow slack so a near-untrained stack can't flake it
     for row in gt["per_horizon"]:
-        assert row["tokenizer_ceiling_psnr"] >= row["psnr"] - 1e-6
+        assert np.isfinite(row["tokenizer_ceiling_psnr"])
+        assert row["tokenizer_ceiling_psnr"] >= row["psnr"] - 3.0

@@ -236,9 +236,9 @@ def train(cfg: MaskedDenoiseConfig):
         # (train/guard.py semantics, on-device — no per-step host sync)
         ok = jnp.isfinite(loss) & jnp.isfinite(gn)
         if cfg.nan_guard:
-            params, opt_state = jax.tree_util.tree_map(
-                lambda o, n: jnp.where(ok, n, o), old, (params, opt_state)
-            )
+            from world_modelz_tpu.train.guard import reject_nonfinite
+
+            params, opt_state = reject_nonfinite(ok, old, (params, opt_state))
         return params, opt_state, loss, ok
 
     def evaluate(params, step):
@@ -325,7 +325,9 @@ def train(cfg: MaskedDenoiseConfig):
                     config_to_dict(cfg),
                 )
                 print("checkpoint:", path)
-        _plot_loss(cfg, [float(x) for x in loss_log])
+        # one stacked transfer — per-element float() would be one RPC round
+        # trip per training step on a relayed TPU backend
+        _plot_loss(cfg, np.asarray(jnp.stack(loss_log)).tolist())
     finally:
         logger.close()
     return params, vq_state

@@ -52,6 +52,7 @@ from world_modelz_tpu.train import (
     step_decay_schedule,
     warmup_cosine_schedule,
 )
+from world_modelz_tpu.train.guard import reject_nonfinite as _reject_nonfinite
 from world_modelz_tpu.train.checkpoint import (
     latest_checkpoint,
     restore_checkpoint,
@@ -90,14 +91,6 @@ def _image_batch_fn(dataset, file_list_fn, image_dir_path, image_fn_regex,
         return frames[rng.integers(0, len(frames), batch_size)]
 
     return sample
-
-
-def _reject_nonfinite(ok, old, new):
-    """On-device step rejection (train/guard.py semantics): keep every leaf
-    of `old` wherever the scalar `ok` is False."""
-    return jax.tree_util.tree_map(
-        lambda o, n: jnp.where(ok, n, o), old, new
-    )
 
 
 def _make_ae(cfg, pass_through: bool) -> SomAutoEncoder:
@@ -285,7 +278,10 @@ def train_ae(cfg: TrainAeConfig):
     finally:
         batches.close()
         logger.close()
-    path = _save_ae_ckpt(cfg, cfg.max_steps, ae, state)
+    # include opt_state: restore_latest targets {'ae','opt_state'}, so a
+    # final checkpoint without it would crash the guard's recovery path on
+    # a re-run in the same output_dir
+    path = _save_ae_ckpt(cfg, cfg.max_steps, ae, state, {"opt_state": opt_state})
     print("final checkpoint:", path)
     return state, path
 

@@ -351,11 +351,11 @@ def train(cfg: SparseDiffusionConfig):
         # (train/guard.py semantics, on-device — no per-step host sync)
         ok = jnp.isfinite(loss) & jnp.isfinite(gn)
         if cfg.nan_guard:
+            from world_modelz_tpu.train.guard import reject_nonfinite
+
             new = (params, ema_params, opt_state, sampler_state)
-            params, ema_params, opt_state, sampler_state = (
-                jax.tree_util.tree_map(
-                    lambda o, n: jnp.where(ok, n, o), old, new
-                )
+            params, ema_params, opt_state, sampler_state = reject_nonfinite(
+                ok, old, new
             )
         return params, ema_params, opt_state, sampler_state, loss, gn, ok
 

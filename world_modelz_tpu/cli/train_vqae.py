@@ -179,6 +179,15 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
             f"batch_size {cfg.batch_size} must be divisible by the "
             f"data-parallel axis ({n_data} devices)"
         )
+    if cfg.vq_backend == "pallas" and n_data > 1:
+        # an opaque pallas_call cannot be sharded by GSPMD: under data
+        # parallelism it would silently de-shard the quantizer hot path
+        # (models/tokenizer.py docstring). Fall back loudly.
+        print(
+            f"[train_vqae] --vq_backend pallas is single-chip only; the "
+            f"mesh has data={n_data} — using the XLA quantizer path"
+        )
+        cfg = dataclasses.replace(cfg, vq_backend="xla")
     tok = make_tokenizer(cfg)
     recon_loss = _loss_fn(cfg.loss_fn)
 
@@ -244,10 +253,10 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
         # train/guard.py semantics, on-device so no per-step host sync
         ok = jnp.isfinite(total) & jnp.isfinite(gn)
         if cfg.nan_guard:
-            new_state, new_opt = jax.tree_util.tree_map(
-                lambda o, n: jnp.where(ok, n, o),
-                (state, opt_state),
-                (new_state, new_opt),
+            from world_modelz_tpu.train.guard import reject_nonfinite
+
+            new_state, new_opt = reject_nonfinite(
+                ok, (state, opt_state), (new_state, new_opt)
             )
         return new_state, new_opt, metrics, recon, ok
 

@@ -36,7 +36,11 @@ def initialize_distributed(
     if num_processes is not None and num_processes <= 1:
         return
     try:
-        if "cpu" in str(jax.config.jax_platforms or ""):
+        # only when CPU is the SELECTED platform (list head), not merely
+        # present in the priority list — e.g. "axon,cpu" TPU-relay runs must
+        # not have their CPU fallback collectives reconfigured
+        head = str(jax.config.jax_platforms or "").split(",")[0].strip()
+        if head == "cpu":
             jax.config.update("jax_cpu_collectives_implementation", "gloo")
     except Exception:
         pass  # older jaxlib without the option; TPU paths never need it

@@ -98,15 +98,19 @@ class RolloutService:
             return decoded.reshape(b, t, *decoded.shape[1:])
 
         self._program = jax.jit(program)
+        self._lifecycle = threading.Lock()  # orders submit() vs close()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, seed_clip: np.ndarray) -> Future:
         """Enqueue one (S, H, W, C) seed clip; resolves to (T, H, W, C)."""
-        if self._closed:
-            raise RuntimeError("service is closed")
         fut: Future = Future()
-        self._queue.put((np.asarray(seed_clip), fut))
+        # the lock makes closed-check + enqueue atomic w.r.t. close(): no
+        # request can land behind the shutdown signal and starve its future
+        with self._lifecycle:
+            if self._closed:
+                raise RuntimeError("service is closed")
+            self._queue.put((np.asarray(seed_clip), fut))
         return fut
 
     def _take_batch(self):
@@ -161,10 +165,11 @@ class RolloutService:
 
     def close(self):
         """Drain and stop the worker; pending requests still complete."""
-        if self._closed:
-            return
-        self._closed = True
-        self._queue.put(None)
+        with self._lifecycle:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
         self._worker.join()
 
     def __enter__(self):

@@ -19,6 +19,7 @@ from world_modelz_tpu.train.guard import (
     CheckpointGuard,
     RestartManager,
     finite_guard,
+    reject_nonfinite,
     tree_all_finite,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "CheckpointGuard",
     "RestartManager",
     "finite_guard",
+    "reject_nonfinite",
     "tree_all_finite",
 ]

@@ -51,6 +51,18 @@ def finite_guard(
     return guarded, ok
 
 
+def reject_nonfinite(ok: jnp.ndarray, old: Any, new: Any) -> Any:
+    """On-device step rejection with a precomputed verdict: keep every leaf
+    of `old` wherever the scalar `ok` is False.
+
+    The in-step companion of :func:`finite_guard` for trainers that derive
+    `ok` from loss/grad-norm scalars they already have (cheaper than
+    re-scanning the whole state tree)."""
+    return jax.tree_util.tree_map(
+        lambda o, n: jnp.where(ok, n, o), old, new
+    )
+
+
 class CheckpointGuard:
     """Host-side wiring of :class:`RestartManager` to a restore callback.
 
