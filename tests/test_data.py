@@ -126,3 +126,46 @@ def test_file_list_dataset(tmp_path):
         str(tmp_path / "manifest.json"), "unused", r".*\.png$"
     )
     assert files2 == files
+
+
+def test_video_file_trajectory_source(tmp_path):
+    """Write small mp4s with OpenCV, read them back through the source and
+    the buffered sampler — the production video-corpus data path."""
+    cv2 = pytest.importorskip("cv2")
+
+    from world_modelz_tpu.data.trajectory import (
+        BufferedTrajectorySampler,
+        VideoFileTrajectorySource,
+    )
+
+    rng = np.random.default_rng(0)
+    for name in ("a.mp4", "sub/b.mp4"):
+        path = tmp_path / name
+        path.parent.mkdir(parents=True, exist_ok=True)
+        w = cv2.VideoWriter(
+            str(path), cv2.VideoWriter_fourcc(*"mp4v"), 10, (48, 32)
+        )
+        assert w.isOpened()
+        for t in range(40):
+            frame = np.full((32, 48, 3), t * 5 % 255, np.uint8)
+            frame[:, :8] = rng.integers(0, 255, (32, 8, 3), dtype=np.uint8)
+            w.write(frame)
+        w.release()
+
+    src = VideoFileTrajectorySource(str(tmp_path), frame_size=16)
+    names = src.trajectory_names()
+    assert sorted(names) == ["a.mp4", "sub/b.mp4"]
+    frames = list(src.load_frames("a.mp4"))
+    assert len(frames) == 40
+    assert frames[0].shape == (16, 16, 3) and frames[0].dtype == np.uint8
+
+    sampler = BufferedTrajectorySampler(
+        src, buffer_size=60, traj_len=4, skip_frames=0, seed=0,
+        max_segment_length=30,
+    )
+    try:
+        batch = sampler.sample_batch(3)
+        assert batch.shape == (3, 4, 16, 16, 3)
+        assert batch.dtype == np.uint8
+    finally:
+        sampler.close()

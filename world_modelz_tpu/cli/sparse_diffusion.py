@@ -90,7 +90,7 @@ class SparseDiffusionConfig:
 
     decoder_model: str = ""
     tokenizer: str = ""  # external tokenizer spec, e.g. "taming:<cfg>,<ckpt>"
-    dataset: str = "synthetic"  # synthetic|minerl
+    dataset: str = "synthetic"  # synthetic|minerl|video
     mlr_data_dir: str = ""
     image_size: int = 64
 
@@ -186,6 +186,12 @@ def train(cfg: SparseDiffusionConfig):
         from world_modelz_tpu.data.trajectory import MineRLTrajectorySource
 
         src = MineRLTrajectorySource(["MineRLTreechop-v0"], cfg.mlr_data_dir)
+    elif cfg.dataset == "video":
+        from world_modelz_tpu.data.trajectory import VideoFileTrajectorySource
+
+        src = VideoFileTrajectorySource(
+            cfg.mlr_data_dir, frame_size=cfg.image_size
+        )
     else:
         src = SyntheticTrajectorySource(
             num_trajectories=16,

@@ -89,7 +89,7 @@ class VideoDiffusionConfig:
     bf16: bool = False  # bfloat16 compute with f32 master weights
     nan_guard: bool = True  # reject steps with non-finite loss/grads
 
-    dataset: str = "moving_mnist"  # moving_mnist|synthetic|minerl
+    dataset: str = "moving_mnist"  # moving_mnist|synthetic|minerl|video
     data_dir: str = ""
     image_size: int = 64
     n_past: int = 5
@@ -145,12 +145,20 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
             deterministic=False,
         )
         return lambda b: ds.sample_batch(rng, b), None
-    if cfg.dataset in ("synthetic", "minerl"):
+    if cfg.dataset in ("synthetic", "minerl", "video"):
         if cfg.dataset == "minerl":
             from world_modelz_tpu.data.trajectory import MineRLTrajectorySource
 
             src = MineRLTrajectorySource(
                 ["MineRLTreechop-v0"], cfg.data_dir
+            )
+        elif cfg.dataset == "video":
+            from world_modelz_tpu.data.trajectory import (
+                VideoFileTrajectorySource,
+            )
+
+            src = VideoFileTrajectorySource(
+                cfg.data_dir, frame_size=cfg.image_size
             )
         else:
             src = SyntheticTrajectorySource(frame_size=cfg.image_size)

@@ -11,6 +11,7 @@ from world_modelz_tpu.data.trajectory import (
     BufferedTrajectorySampler,
     SyncTrajectorySampler,
     SyntheticTrajectorySource,
+    VideoFileTrajectorySource,
 )
 from world_modelz_tpu.data.images import FileListImageDataset, load_file_list
 from world_modelz_tpu.data.prefetch import PrefetchIterator
@@ -20,6 +21,7 @@ __all__ = [
     "BufferedTrajectorySampler",
     "SyncTrajectorySampler",
     "SyntheticTrajectorySource",
+    "VideoFileTrajectorySource",
     "FileListImageDataset",
     "load_file_list",
     "PrefetchIterator",

@@ -124,6 +124,72 @@ class MineRLTrajectorySource:
             yield data_tuple[0]["pov"]
 
 
+class VideoFileTrajectorySource:
+    """Trajectories from video files on disk (mp4/avi/mkv/webm via OpenCV).
+
+    Each file under `root` is one trajectory; frames are decoded as RGB
+    uint8 and center-crop-resized to `frame_size`. This is the production
+    data path for real gameplay recordings — the reference only ever read
+    MineRL's packaged format (buffered_traj_sampler.py:6); any video corpus
+    works here through the same :class:`TrajectorySource` protocol, so both
+    samplers and every trainer accept it unchanged.
+    """
+
+    EXTENSIONS = (".mp4", ".avi", ".mkv", ".webm", ".mov")
+
+    def __init__(self, root: str, frame_size: int = 64, recursive: bool = True):
+        import os
+
+        self.root = root
+        self.frame_size = frame_size
+        names = []
+        if recursive:
+            for dirpath, _dirs, files in sorted(os.walk(root)):
+                for f in sorted(files):
+                    if f.lower().endswith(self.EXTENSIONS):
+                        names.append(
+                            os.path.relpath(os.path.join(dirpath, f), root)
+                        )
+        else:
+            names = sorted(
+                f
+                for f in os.listdir(root)
+                if f.lower().endswith(self.EXTENSIONS)
+            )
+        if not names:
+            raise FileNotFoundError(f"no video files under {root!r}")
+        self._names = names
+
+    def trajectory_names(self) -> Sequence[str]:
+        return self._names
+
+    def load_frames(self, name: str) -> Iterator[np.ndarray]:
+        import os
+
+        import cv2  # bundled with opencv-python; ships its own ffmpeg
+
+        cap = cv2.VideoCapture(os.path.join(self.root, name))
+        if not cap.isOpened():
+            raise IOError(f"cannot open video {name!r}")
+        s = self.frame_size
+        try:
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    return
+                h, w = frame.shape[:2]
+                side = min(h, w)  # center square crop, then resize
+                y0, x0 = (h - side) // 2, (w - side) // 2
+                frame = frame[y0 : y0 + side, x0 : x0 + side]
+                if side != s:
+                    frame = cv2.resize(
+                        frame, (s, s), interpolation=cv2.INTER_AREA
+                    )
+                yield frame[:, :, ::-1].copy()  # BGR -> RGB
+        finally:
+            cap.release()
+
+
 class _Buffer:
     __slots__ = ("segments", "example_offsets")
 
