@@ -19,6 +19,12 @@ from world_modelz_tpu.parallel.pipeline import (
     stack_stage_params,
     unmicrobatch,
 )
+from world_modelz_tpu.parallel.moe import (
+    MoEParams,
+    expert_shardings,
+    moe_ffn,
+    moe_init,
+)
 from world_modelz_tpu.parallel.distributed import (
     initialize_distributed,
     shard_host_batch,
@@ -34,6 +40,10 @@ __all__ = [
     "local3d_attention_seq",
     "make_seq_sharded_attention",
     "seq_sharded_attention",
+    "MoEParams",
+    "expert_shardings",
+    "moe_ffn",
+    "moe_init",
     "microbatch",
     "pipeline_apply",
     "stack_stage_params",
