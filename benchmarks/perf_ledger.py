@@ -395,8 +395,42 @@ def sec_denoise(led: Ledger):
         )
 
 
+def sec_tokenize_b512(led: Ledger):
+    """Roundtrip at batch 512 — is the headline bench batch-bound?"""
+    global TOK_BATCH
+    prev = TOK_BATCH
+    TOK_BATCH = prev * 2
+    try:
+        tok, state = _tokenizer()
+        hw = (TOK_IMG, TOK_IMG)
+        lat = tok.token_grid_shape(hw)
+        f = TOK_BATCH * (
+            F.vqae_encode_flops(hw, TOK_C, TOK["embedding_dim"],
+                                TOK["hidden_planes"], TOK["downscale_steps"])
+            + F.vqae_decode_flops(hw, TOK_C, TOK["embedding_dim"],
+                                  TOK["hidden_planes"], TOK["downscale_steps"])
+        ) + F.vq_search_flops(
+            TOK_BATCH * lat[0] * lat[1], TOK["num_embeddings"],
+            TOK["embedding_dim"],
+        )
+        frames = jax.random.uniform(
+            jax.random.PRNGKey(2), (TOK_BATCH, TOK_IMG, TOK_IMG, TOK_C),
+            jnp.bfloat16,
+        )
+        s = timed_chain(
+            lambda x: tok.decode(state, tok.encode(state, x)), frames
+        )
+        led.record(
+            f"tokenize/roundtrip_b{TOK_BATCH}", s, f, batch=TOK_BATCH,
+            img=TOK_IMG, fps=round(TOK_BATCH / s, 1),
+        )
+    finally:
+        TOK_BATCH = prev
+
+
 SECTIONS = {
     "tokenize": sec_tokenize,
+    "tokenize512": sec_tokenize_b512,
     "vq": sec_vq,
     "attn": sec_attn,
     "train": sec_train,

@@ -26,7 +26,7 @@ for f in "$OUT"/m3_eval_*_ema.gif "$OUT"/m3_eval_*_ema.png; do
 done
 
 echo "== perf ledger (attn/train/denoise) =="
-timeout 2100 python benchmarks/perf_ledger.py attn train denoise \
+timeout 2100 python benchmarks/perf_ledger.py attn train denoise tokenize512 \
   || echo "ledger sections failed"
 
 echo "== headline bench =="
