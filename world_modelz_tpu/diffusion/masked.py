@@ -129,7 +129,10 @@ def unmask_frame(
         draw = jnp.where(mask, mask_token, draw)
 
         batch_z = batch_z.at[:, -1].set(draw)
-        logits = logits_fn(batch_z)
+        # f32: sampling math stays full-precision, and the loop carry dtype
+        # is independent of the model's compute dtype (bf16 params would
+        # otherwise break the scan's carry-type invariance)
+        logits = logits_fn(batch_z).astype(jnp.float32)
         return batch_z, logits, key
 
     init_logits = jnp.zeros((b, h, w, num_classes), jnp.float32)
