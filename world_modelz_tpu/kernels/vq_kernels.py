@@ -47,13 +47,19 @@ def _vq_kernel(x_ref, e_ref, e_sq_ref, idx_ref, q_ref=None):
         # TPU today (interpret-only); the one-hot matmul is why this kernel
         # currently trails XLA's fused matmul+argmin+gather for encode+decode
         # (docs/ROADMAP.md) — the index-only variant skips it entirely.
+        # HIGHEST precision: this matmul emulates an exact gather; default
+        # TPU f32 matmuls use bf16 passes, which would round the selected
+        # code vectors by ~1e-2 (the XLA path's take_along_axis is exact).
         k = e.shape[0]
         onehot = (
             idx[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (x.shape[0], k), 1)
         ).astype(e.dtype)
         q_ref[:] = jnp.dot(
-            onehot, e, preferred_element_type=jnp.float32
+            onehot,
+            e,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(q_ref.dtype)
 
 
@@ -172,9 +178,14 @@ def _vq_train_kernel(
     row = i * tn + jax.lax.broadcasted_iota(jnp.int32, (tn,), 0)
     onehot = onehot * (row < n_valid).astype(jnp.float32)[:, None]
 
-    q_ref[:] = jnp.dot(onehot, e, preferred_element_type=jnp.float32).astype(
-        q_ref.dtype
-    )
+    # HIGHEST: emulates an exact gather (see _vq_kernel) — default bf16
+    # passes would round the selected code vectors
+    q_ref[:] = jnp.dot(
+        onehot,
+        e,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(q_ref.dtype)
 
     cnt_tile = jnp.sum(onehot, axis=0)[None, :]  # (1, K)
     err_tile = jnp.sum(onehot * min_d[:, None], axis=0)[None, :]  # (1, K)
