@@ -83,17 +83,21 @@ class Ledger:
 
     def record(self, name: str, seconds: float, flops: int, **config):
         peak = self.peak["bf16_flops"] if self.peak else None
+        # differencing noise can push microsecond-scale measurements to <= 0;
+        # record them as null rather than crashing (re-run with longer chains)
+        valid = seconds > 0
+        m = F.mfu(flops, seconds, peak) if (peak and valid) else None
         e = {
             "name": name,
             "device": (self.peak or {}).get(
                 "device", jax.devices()[0].device_kind
             ),
-            "ms": round(seconds * 1e3, 4),
+            "ms": round(seconds * 1e3, 4) if valid else None,
             "flops": int(flops),
-            "tflops_per_sec": round(flops / seconds / 1e12, 2),
-            "mfu_pct": (
-                round(F.mfu(flops, seconds, peak), 2) if peak else None
+            "tflops_per_sec": (
+                round(flops / seconds / 1e12, 2) if valid else None
             ),
+            "mfu_pct": round(m, 2) if m is not None else None,
             "config": config,
             "ts": int(time.time()),
         }
@@ -223,11 +227,23 @@ def sec_vq(led: Ledger):
         return x * 0.999 + jnp.mean(idx.astype(x.dtype)) * 1e-6
 
     cfg = dict(n=n, k=k, d=d)
-    led.record("vq/xla_encode_decode", timed_chain(xla_step, x), f_q, **cfg)
-    led.record("vq/xla_index_only", timed_chain(xla_idx_step, x), f_idx, **cfg)
-    led.record("vq/pallas_encode_decode", timed_chain(pal_step, x), f_q, **cfg)
+    # microsecond-scale ops: long chains so the scan-length differencing
+    # rises well above RPC jitter
+    it = ITERS if QUICK else (20, 100)
     led.record(
-        "vq/pallas_index_only", timed_chain(pal_idx_step, x), f_idx, **cfg
+        "vq/xla_encode_decode", timed_chain(xla_step, x, iters=it), f_q, **cfg
+    )
+    led.record(
+        "vq/xla_index_only", timed_chain(xla_idx_step, x, iters=it), f_idx,
+        **cfg,
+    )
+    led.record(
+        "vq/pallas_encode_decode", timed_chain(pal_step, x, iters=it), f_q,
+        **cfg,
+    )
+    led.record(
+        "vq/pallas_index_only", timed_chain(pal_idx_step, x, iters=it),
+        f_idx, **cfg,
     )
 
     # full training quantize pass: search + straight-through + EMA stats
@@ -246,10 +262,12 @@ def sec_vq(led: Ledger):
         return out.quantized[:, 0, :] * 0.999 + x * 1e-3
 
     led.record(
-        "vq/xla_train_apply", timed_chain(xla_train_step, x), f_train, **cfg
+        "vq/xla_train_apply", timed_chain(xla_train_step, x, iters=it),
+        f_train, **cfg,
     )
     led.record(
-        "vq/pallas_train_fused", timed_chain(pal_train_step, x), f_train, **cfg
+        "vq/pallas_train_fused", timed_chain(pal_train_step, x, iters=it),
+        f_train, **cfg,
     )
 
 
