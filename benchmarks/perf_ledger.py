@@ -289,10 +289,15 @@ def sec_attn(led: Ledger):
         v = jax.random.normal(key, (b, s, h, w, inner))
         fl = F.local3d_attention_flops(b * s * h * w, extents, inner)
         cfg = dict(b=b, s=s, hw=f"{h}x{w}", inner=inner, extents=extents)
+        # sub-ms measurements need long chains or differencing noise wins
+        it = ITERS if QUICK else (20, 100)
 
         led.record(
             f"attn/{tag}/xla",
-            timed_chain(lambda q: local3d_attention(q, k, v, extents, heads), q),
+            timed_chain(
+                lambda q: local3d_attention(q, k, v, extents, heads), q,
+                iters=it,
+            ),
             fl,
             **cfg,
         )
@@ -302,6 +307,7 @@ def sec_attn(led: Ledger):
                 timed_chain(
                     lambda q: local3d_attention_pallas(q, k, v, extents, heads),
                     q,
+                    iters=it,
                 ),
                 fl,
                 **cfg,

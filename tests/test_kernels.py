@@ -389,3 +389,47 @@ def test_local3d_kernel_bf16_path(rng):
             np.asarray(a, np.float32), np.asarray(b_),
             rtol=0.1, atol=0.25,
         )
+
+
+def test_local3d_per_frame_impls_still_match(rng):
+    """The per-frame fwd/bwd kernels (used when the all-frames working set
+    exceeds VMEM) keep golden parity — exercised directly since small test
+    shapes now route to the all-frames variant."""
+    from world_modelz_tpu.kernels.local3d import _bwd_impl, _fwd_impl
+
+    extents, heads = (1, 1, 1), 2
+    b, s, h, w, inner = 2, 4, 4, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+
+    ref = local3d_attention(q, k, v, extents, heads)
+    out = _fwd_impl(q, k, v, extents, heads, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+    g = jnp.asarray(rng.normal(size=ref.shape).astype(np.float32))
+    dq, dk, dv = _bwd_impl(q, k, v, g, extents, heads, True)
+
+    def loss(q, k, v):
+        return jnp.sum(local3d_attention(q, k, v, extents, heads) * g)
+
+    rq, rk, rv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in ((dq, rq), (dk, rk), (dv, rv)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-4, atol=2e-4
+        )
+
+
+def test_allframes_route_selection():
+    """Route checks: m3 shape -> all-frames fwd but per-frame bwd; the
+    32-frame volume exceeds both all-frames budgets."""
+    from world_modelz_tpu.kernels.local3d import (
+        fits_vmem_allframes,
+        fits_vmem_allframes_bwd,
+    )
+
+    assert fits_vmem_allframes(6, 16, 16, (3, 1, 1), 128)
+    assert not fits_vmem_allframes_bwd(6, 16, 16, (3, 1, 1), 128)
+    assert not fits_vmem_allframes(32, 16, 16, (3, 1, 1), 128)

@@ -209,6 +209,231 @@ def _fwd_impl(
 
 
 # ---------------------------------------------------------------------------
+# All-frames variant (small-S shapes: one program per (batch, head))
+# ---------------------------------------------------------------------------
+#
+# At the flagship model-#3 shape (S=6, 16x16) the per-(z, frame) grid is
+# launch-bound: 48 programs for ~0.13 ms of compute. When the WHOLE clip's
+# working set fits VMEM, one program per (batch*head) processes every frame
+# in an unrolled loop — 8 programs instead of 48 — and the backward
+# accumulates dK/dV across frames directly in VMEM (each program owns its
+# whole clip), eliminating the host-side diagonal fold entirely.
+
+
+def fits_vmem_allframes(
+    seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
+) -> bool:
+    """Forward all-frames working set: q + out + padded k/v + one frame's
+    score intermediates."""
+    hw = height * width
+    ts = 2 * extents[0] + 1
+    qkv = (seq * hw * dh + 2 * (seq + 2 * extents[0]) * hw * dh) * 4
+    out = seq * hw * dh * 4
+    score = hw * ts * hw * 4 * 2
+    return qkv + out + score <= _VMEM_BUDGET_BYTES
+
+
+def fits_vmem_allframes_bwd(
+    seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
+) -> bool:
+    """Backward adds g + dq + two f32 dK/dV accumulators over padded
+    frames — a substantially larger working set than the forward."""
+    hw = height * width
+    ts = 2 * extents[0] + 1
+    pad = seq + 2 * extents[0]
+    per_clip = seq * hw * dh * 4  # one of q / g / dq
+    per_pad = pad * hw * dh * 4  # one of k / v / dk / dv
+    score = hw * ts * hw * 4 * 2
+    return 3 * per_clip + 4 * per_pad + score <= _VMEM_BUDGET_BYTES
+
+
+def _attn_kernel_allframes(
+    *refs, seq: int, height: int, width: int,
+    extents: Tuple[int, int, int], dh: int
+):
+    es, eh, ew = extents
+    hw = height * width
+    ts = 2 * es + 1
+    q_ref, k_ref, v_ref, o_ref = refs
+
+    k_all = k_ref[0]  # (S + 2es, HW, dh) zero-padded frames
+    v_all = v_ref[0]
+    scale = dh**-0.5
+    for f in range(seq):  # static unroll: S is small here by construction
+        q = q_ref[0, f]  # (HW, dh)
+        k = k_all[f : f + ts].reshape(ts * hw, dh)
+        v = v_all[f : f + ts].reshape(ts * hw, dh)
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        ok = _mask_block(seq, height, width, extents, f)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        attn = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, f] = jnp.dot(
+            attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
+
+
+def _fwd_impl_allframes(q, k, v, extents, heads, interpret):
+    es, eh, ew = extents
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    hw = h * w
+
+    def to_zs(t):
+        t = t.reshape(b, s, hw, heads, dh)
+        return t.transpose(0, 3, 1, 2, 4).reshape(b * heads, s, hw, dh)
+
+    qz = to_zs(q)
+    kz = jnp.pad(to_zs(k), ((0, 0), (es, es), (0, 0), (0, 0)))
+    vz = jnp.pad(to_zs(v), ((0, 0), (es, es), (0, 0), (0, 0)))
+
+    q_spec = pl.BlockSpec(
+        (1, s, hw, dh), lambda z: (z, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, s + 2 * es, hw, dh), lambda z: (z, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _attn_kernel_allframes, seq=s, height=h, width=w,
+        extents=extents, dh=dh,
+    )
+    ts = 2 * es + 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * heads,),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * heads * s * hw * ts * hw * dh,
+            bytes_accessed=4 * b * heads * s * hw * dh * 4,
+            transcendentals=b * heads * s * hw * ts * hw,
+        ),
+    )(qz, kz, vz)
+    return (
+        out.reshape(b, heads, s, hw, dh)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(b, s, h, w, inner)
+    )
+
+
+def _bwd_kernel_allframes(
+    *refs, seq: int, height: int, width: int,
+    extents: Tuple[int, int, int], dh: int
+):
+    es, eh, ew = extents
+    hw = height * width
+    ts = 2 * es + 1
+    q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    scale = dh**-0.5
+    dk_acc = jnp.zeros_like(k_all, dtype=jnp.float32)
+    dv_acc = jnp.zeros_like(v_all, dtype=jnp.float32)
+    for f in range(seq):
+        q = q_ref[0, f]
+        g = g_ref[0, f]
+        k = k_all[f : f + ts].reshape(ts * hw, dh)
+        v = v_all[f : f + ts].reshape(ts * hw, dh)
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        ok = _mask_block(seq, height, width, extents, f)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        attn = p / jnp.sum(p, axis=-1, keepdims=True)
+
+        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * attn, axis=-1, keepdims=True)
+        dscores = attn * (dp - row)
+        ds_lo = dscores.astype(q.dtype)
+        at_lo = attn.astype(g.dtype)
+
+        dq_ref[0, f] = (
+            jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dk_f = (
+            jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32) * scale
+        ).reshape(ts, hw, dh)
+        dv_f = jnp.dot(
+            at_lo.T, g, preferred_element_type=jnp.float32
+        ).reshape(ts, hw, dh)
+        # each program owns the whole clip: accumulate straight onto the
+        # padded key frames (no cross-program races, no host-side fold)
+        dk_acc = jax.lax.dynamic_update_slice(
+            dk_acc,
+            jax.lax.dynamic_slice(dk_acc, (f, 0, 0), (ts, hw, dh)) + dk_f,
+            (f, 0, 0),
+        )
+        dv_acc = jax.lax.dynamic_update_slice(
+            dv_acc,
+            jax.lax.dynamic_slice(dv_acc, (f, 0, 0), (ts, hw, dh)) + dv_f,
+            (f, 0, 0),
+        )
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret):
+    es, eh, ew = extents
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    hw = h * w
+
+    def to_zs(t):
+        t = t.reshape(b, s, hw, heads, dh)
+        return t.transpose(0, 3, 1, 2, 4).reshape(b * heads, s, hw, dh)
+
+    qz, gz = to_zs(q), to_zs(g)
+    kz = jnp.pad(to_zs(k), ((0, 0), (es, es), (0, 0), (0, 0)))
+    vz = jnp.pad(to_zs(v), ((0, 0), (es, es), (0, 0), (0, 0)))
+
+    q_spec = pl.BlockSpec(
+        (1, s, hw, dh), lambda z: (z, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec = pl.BlockSpec(
+        (1, s + 2 * es, hw, dh), lambda z: (z, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(
+        _bwd_kernel_allframes, seq=s, height=h, width=w,
+        extents=extents, dh=dh,
+    )
+    dq, dk_p, dv_p = pl.pallas_call(
+        kernel,
+        grid=(b * heads,),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
+            jax.ShapeDtypeStruct(
+                (b * heads, s + 2 * es, hw, dh), jnp.float32
+            ),
+            jax.ShapeDtypeStruct(
+                (b * heads, s + 2 * es, hw, dh), jnp.float32
+            ),
+        ],
+        interpret=interpret,
+    )(qz, kz, vz, gz)
+
+    # un-pad: padded frame index f covers true frame f - es
+    dkz = dk_p[:, es : es + s].astype(k.dtype)
+    dvz = dv_p[:, es : es + s].astype(v.dtype)
+
+    def from_zs(t):
+        return (
+            t.reshape(b, heads, s, hw, dh)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(b, s, h, w, inner)
+        )
+
+    return from_zs(dq), from_zs(dkz), from_zs(dvz)
+
+
+# ---------------------------------------------------------------------------
 # H-tiled variant (32x32 grids and beyond — VERDICT r1 item 5)
 # ---------------------------------------------------------------------------
 
@@ -502,8 +727,25 @@ def local3d_attention_pallas(
     Pallas interpreter (CPU testing). Grids whose full-frame working set
     exceeds VMEM are automatically H-tiled (`pick_h_tile`).
     """
+    return _route_fwd(q, k, v, extents, heads, interpret)
+
+
+def _route_fwd(q, k, v, extents, heads, interpret):
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    if fits_vmem_allframes(s, h, w, extents, dh):
+        return _fwd_impl_allframes(q, k, v, extents, heads, interpret)
     return _dispatch(_fwd_impl, _fwd_impl_tiled, q, k, v, extents, heads,
                      interpret)
+
+
+def _route_bwd(q, k, v, g, extents, heads, interpret):
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    if fits_vmem_allframes_bwd(s, h, w, extents, dh):
+        return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret)
+    return _dispatch(_bwd_impl, _bwd_impl_tiled, q, k, v, g, extents,
+                     heads, interpret)
 
 
 def _dispatch(full_fn, tiled_fn, q, *rest_and_args):
@@ -672,16 +914,14 @@ def _bwd_impl(q, k, v, g, extents, heads, interpret):
 
 def _fwd(q, k, v, extents, heads, interpret):
     return (
-        _dispatch(_fwd_impl, _fwd_impl_tiled, q, k, v, extents, heads,
-                  interpret),
+        _route_fwd(q, k, v, extents, heads, interpret),
         (q, k, v),
     )
 
 
 def _bwd(extents, heads, interpret, residuals, g):
     q, k, v = residuals
-    return _dispatch(_bwd_impl, _bwd_impl_tiled, q, k, v, g, extents,
-                     heads, interpret)
+    return _route_bwd(q, k, v, g, extents, heads, interpret)
 
 
 local3d_attention_pallas.defvjp(_fwd, _bwd)
