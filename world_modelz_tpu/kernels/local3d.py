@@ -221,30 +221,47 @@ def _fwd_impl(
 
 
 def fits_vmem_allframes(
-    seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
+    seq: int,
+    height: int,
+    width: int,
+    extents: Tuple[int, int, int],
+    dh: int,
+    itemsize: int = 4,
 ) -> bool:
     """Forward all-frames working set: q + out + padded k/v + one frame's
-    score intermediates."""
+    score intermediates. Operands are sized at their dtype (`itemsize` — 2
+    for the bf16 hot path); score intermediates are always f32."""
     hw = height * width
     ts = 2 * extents[0] + 1
-    qkv = (seq * hw * dh + 2 * (seq + 2 * extents[0]) * hw * dh) * 4
-    out = seq * hw * dh * 4
+    qkv = (seq * hw * dh + 2 * (seq + 2 * extents[0]) * hw * dh) * itemsize
+    out = seq * hw * dh * itemsize
     score = hw * ts * hw * 4 * 2
     return qkv + out + score <= _VMEM_BUDGET_BYTES
 
 
 def fits_vmem_allframes_bwd(
-    seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
+    seq: int,
+    height: int,
+    width: int,
+    extents: Tuple[int, int, int],
+    dh: int,
+    itemsize: int = 4,
 ) -> bool:
     """Backward adds g + dq + two f32 dK/dV accumulators over padded
-    frames — a substantially larger working set than the forward."""
+    frames — a substantially larger working set than the forward. q/g/dq
+    and k/v are sized at the operand dtype; the dK/dV accumulators are
+    always f32 (4 bytes)."""
     hw = height * width
     ts = 2 * extents[0] + 1
     pad = seq + 2 * extents[0]
-    per_clip = seq * hw * dh * 4  # one of q / g / dq
-    per_pad = pad * hw * dh * 4  # one of k / v / dk / dv
+    per_clip = seq * hw * dh * itemsize  # one of q / g / dq
+    per_pad = pad * hw * dh * itemsize  # one of k / v
+    per_pad_acc = pad * hw * dh * 4  # one of dk / dv (f32 accumulators)
     score = hw * ts * hw * 4 * 2
-    return 3 * per_clip + 4 * per_pad + score <= _VMEM_BUDGET_BYTES
+    return (
+        3 * per_clip + 2 * per_pad + 2 * per_pad_acc + score
+        <= _VMEM_BUDGET_BYTES
+    )
 
 
 def _attn_kernel_allframes(
@@ -733,7 +750,7 @@ def local3d_attention_pallas(
 def _route_fwd(q, k, v, extents, heads, interpret):
     b, s, h, w, inner = q.shape
     dh = inner // heads
-    if fits_vmem_allframes(s, h, w, extents, dh):
+    if fits_vmem_allframes(s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize):
         return _fwd_impl_allframes(q, k, v, extents, heads, interpret)
     return _dispatch(_fwd_impl, _fwd_impl_tiled, q, k, v, extents, heads,
                      interpret)
@@ -742,7 +759,9 @@ def _route_fwd(q, k, v, extents, heads, interpret):
 def _route_bwd(q, k, v, g, extents, heads, interpret):
     b, s, h, w, inner = q.shape
     dh = inner // heads
-    if fits_vmem_allframes_bwd(s, h, w, extents, dh):
+    if fits_vmem_allframes_bwd(
+        s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize
+    ):
         return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret)
     return _dispatch(_bwd_impl, _bwd_impl_tiled, q, k, v, g, extents,
                      heads, interpret)

@@ -7,9 +7,9 @@ Mesh-TensorFlow / GSPMD recipe):
 
   gate      = softmax(x @ Wg)                       (B, N, E)
   dispatch  = one-hot(top-1 expert, capacity slot)  (B, N, E, C) {0, 1}
-  expert_in = einsum('bnec,bnd->ecbd')              per-expert token batches
+  expert_in = einsum('bnec,bnd->ebcd')              per-expert token batches
   expert_out= FFN_e(expert_in)                      batched over E
-  y         = einsum('bnec,ecbd->bnd', dispatch * gate, expert_out)
+  y         = einsum('bnec,ebcd->bnd', dispatch * gate, expert_out)
 
 Everything is a fixed-shape matmul: no ragged shapes, no host routing. Under
 ``jit`` with the expert axis of the stacked FFN parameters and of the

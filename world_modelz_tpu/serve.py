@@ -157,7 +157,11 @@ class RolloutService:
                 self.stats["batches"] += 1
                 self.stats["batched_rows"] += self._batch_size
                 for i, fut in enumerate(futs):
-                    fut.set_result(out[i])
+                    # a client may have cancel()ed a queued future; resolving
+                    # it would raise InvalidStateError and poison the rest of
+                    # the batch via the except below
+                    if not fut.cancelled():
+                        fut.set_result(out[i])
             except Exception as e:  # propagate to every waiter
                 for fut in futs:
                     if not fut.done():
