@@ -1,6 +1,8 @@
 """Tests for gMLP, patchify helpers, named schedules, external tokenizer
 bridge, and the ddpm/masked glue not covered elsewhere."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -245,3 +247,22 @@ def test_taming_adapter_plumbing(monkeypatch, tmp_path):
     # the fake decoder doesn't upsample; shape checks the NCHW->NHWC permute
     assert out.shape == (2, 4, 4, 3)
     assert out.min() >= 0.0 and out.max() <= 1.0
+
+
+def test_ledger_tables_in_docs_are_current():
+    """README/ROADMAP perf tables are generated from the ledger; a ledger
+    refresh without `ledger_report.py --update` must fail loudly (round-2
+    review: three in-repo copies of the same number disagreed)."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "ledger_report", os.path.join(root, "benchmarks", "ledger_report.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    table = mod.render()
+    want = mod.BEGIN + "\n" + table + "\n" + mod.END
+    for doc in ("README.md", os.path.join("docs", "ROADMAP.md")):
+        with open(os.path.join(root, doc)) as f:
+            assert want in f.read(), f"{doc}: stale ledger table"
