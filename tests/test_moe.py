@@ -77,3 +77,114 @@ def test_moe_gradients_flow(rng):
     assert float(jnp.abs(gx).sum()) > 0
     # every expert that received a token gets a weight gradient
     assert float(jnp.abs(gp.w_in).sum()) > 0
+
+
+def test_moe_model_matches_reference_impl_incl_grads(rng):
+    """VERDICT r2 #5: the MoE FFN wired into the REAL sparse-diffusion
+    model. With lossless capacity the dispatch path must match the
+    per-token reference path — values AND gradients."""
+    from world_modelz_tpu.models.video import VqSparseDiffusionModel
+
+    e = 4
+    kw = dict(
+        shape=(4, 4, 4),
+        num_classes=12,
+        dim=16,
+        depth=2,
+        dim_head=8,
+        mlp_dim=32,
+        heads=2,
+        moe_experts=e,
+        moe_capacity_factor=float(e),  # capacity = N -> lossless
+    )
+    m_disp = VqSparseDiffusionModel(**kw, moe_impl="dispatch")
+    m_ref = VqSparseDiffusionModel(**kw, moe_impl="reference")
+
+    toks = jnp.asarray(rng.integers(0, 13, size=(2, 24)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, 64, size=(2, 24)), jnp.int32)
+    params = m_disp.init(jax.random.PRNGKey(0), toks, idx)["params"]
+    # param tree must contain the expert-stacked leaves
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    paths = ["/".join(str(getattr(p, "key", p)) for p in pa) for pa, _ in flat]
+    assert any("MoEFeedForward_0" in p and p.endswith("w_in") for p in paths)
+
+    def loss(model, p):
+        logits, aux_vars = model.apply(
+            {"params": p}, toks, idx, mutable=["losses"]
+        )
+        aux = sum(
+            jnp.mean(a)
+            for a in jax.tree_util.tree_leaves(aux_vars["losses"])
+        )
+        return jnp.sum(logits**2) * 1e-3 + 0.01 * aux
+
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_disp, p))(params)
+    l2, g2 = jax.value_and_grad(lambda p: loss(m_ref, p))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-4)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-5
+        )
+
+
+def test_moe_model_expert_sharded_step(rng):
+    """Expert-sharded (2 data x 4 'model'=expert) jitted grad step through
+    the real model matches the single-device result, and the expert leaves
+    really are sharded (DEFAULT_TP_RULES MoE rules)."""
+    from world_modelz_tpu.models.video import VqSparseDiffusionModel
+    from world_modelz_tpu.parallel.mesh import (
+        DEFAULT_TP_RULES,
+        batch_sharding,
+        make_mesh,
+        shard_params,
+    )
+
+    model = VqSparseDiffusionModel(
+        shape=(4, 4, 4),
+        num_classes=12,
+        dim=16,
+        depth=1,
+        dim_head=8,
+        mlp_dim=32,
+        heads=2,
+        moe_experts=4,
+        moe_capacity_factor=4.0,
+    )
+    toks = jnp.asarray(rng.integers(0, 13, size=(4, 24)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, 64, size=(4, 24)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), toks, idx)["params"]
+
+    def loss(p, t, i):
+        logits, aux_vars = model.apply(
+            {"params": p}, t, i, mutable=["losses"]
+        )
+        aux = sum(
+            jnp.mean(a)
+            for a in jax.tree_util.tree_leaves(aux_vars["losses"])
+        )
+        return jnp.mean(logits**2) + 0.01 * aux
+
+    g_ref = jax.grad(loss)(params, toks, idx)
+
+    mesh = make_mesh(n_data=2, n_model=4)
+    shardings = shard_params(params, mesh, DEFAULT_TP_RULES)
+    p_s = jax.device_put(params, shardings)
+    # the expert axis of w_in must be split over 'model'
+    w_in_spec = None
+    for pa, s in jax.tree_util.tree_flatten_with_path(shardings)[0]:
+        path = "/".join(str(getattr(x, "key", x)) for x in pa)
+        if "MoEFeedForward_0" in path and path.endswith("w_in"):
+            w_in_spec = s.spec
+    assert w_in_spec == P("model", None, None)
+
+    t_s = jax.device_put(toks, batch_sharding(mesh))
+    i_s = jax.device_put(idx, batch_sharding(mesh))
+    g_s = jax.jit(jax.grad(loss))(p_s, t_s, i_s)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_s)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        )

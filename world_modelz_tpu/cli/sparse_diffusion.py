@@ -119,6 +119,13 @@ class SparseDiffusionConfig:
     num_context: int = 512
     change_batch_interval: int = 4
 
+    # mixture-of-experts FFNs (models/attention.py MoEFeedForward): replaces
+    # every transformer FFN with moe_experts top-1-routed experts whose
+    # expert axis shards over the 'model' mesh axis (expert parallelism).
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_aux_weight: float = 1e-2  # load-balance loss weight
+
     n_model: int = 1
     # pipeline parallelism over the transformer depth (parallel/pipeline.py):
     # n_pipe stages stream n_micro microbatches; depth % n_pipe == 0 and
@@ -207,6 +214,11 @@ def train(cfg: SparseDiffusionConfig):
         seed=cfg.manual_seed,
     )
 
+    if cfg.moe_experts > 0 and cfg.n_pipe > 1:
+        raise ValueError(
+            "--moe_experts cannot combine with --n_pipe (the pipelined "
+            "forward does not thread the MoE aux-loss collection)"
+        )
     model = VqSparseDiffusionModel(
         shape=shape,
         num_classes=num_embeddings,
@@ -215,6 +227,8 @@ def train(cfg: SparseDiffusionConfig):
         dim_head=cfg.dim // cfg.heads,
         mlp_dim=cfg.mlp_dim,
         heads=cfg.heads,
+        moe_experts=cfg.moe_experts,
+        moe_capacity_factor=cfg.moe_capacity_factor,
     )
     key = jax.random.PRNGKey(cfg.manual_seed)
     params = model.init(
@@ -329,6 +343,11 @@ def train(cfg: SparseDiffusionConfig):
                     if mb % mesh.shape["data"] == 0
                     else None,
                 ).astype(jnp.float32)
+            elif cfg.moe_experts > 0:
+                logits, aux_vars = model.apply(
+                    {"params": p}, corrupted, indices, mutable=["losses"]
+                )
+                logits = logits.astype(jnp.float32)
             else:
                 logits = model.apply(
                     {"params": p}, corrupted, indices
@@ -336,7 +355,14 @@ def train(cfg: SparseDiffusionConfig):
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.reshape(-1, num_embeddings), target.reshape(-1)
             )
-            return ce.mean(), ce.reshape(b, -1).mean(axis=1)
+            loss = ce.mean()
+            if cfg.moe_experts > 0:
+                aux_leaves = jax.tree_util.tree_leaves(aux_vars["losses"])
+                moe_aux = sum(jnp.mean(a) for a in aux_leaves) / max(
+                    1, len(aux_leaves)
+                )
+                loss = loss + cfg.moe_aux_weight * moe_aux
+            return loss, ce.reshape(b, -1).mean(axis=1)
 
         (loss, per_sample), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -60,6 +60,67 @@ class FeedForward(nn.Module):
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
+class MoEFeedForward(nn.Module):
+    """Top-1 routed mixture-of-experts FFN — a drop-in for `FeedForward`.
+
+    Wraps the pure dispatch/combine math of `parallel/moe.py` (capacity-slot
+    einsums that lower to all-to-alls when the expert axis is sharded) in a
+    linen module so transformers can enable expert parallelism with a config
+    field. The load-balance auxiliary loss is sown into the ``"losses"``
+    collection (key ``moe_aux``); trainers apply with
+    ``mutable=["losses"]`` and add it to the objective — eval-time applies
+    without the collection silently skip the sow.
+
+    No reference counterpart (the reference has no MoE — SURVEY.md §2.2);
+    this makes the parallelism capability a real model feature.
+    """
+
+    hidden_dim: int
+    num_experts: int
+    capacity_factor: float = 1.25
+    impl: str = "dispatch"  # "reference": per-token golden path (tests)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        from world_modelz_tpu.parallel.moe import (
+            MoEParams,
+            moe_ffn,
+            moe_reference,
+        )
+
+        dim = x.shape[-1]
+        e, hid = self.num_experts, self.hidden_dim
+        p = MoEParams(
+            w_gate=self.param(
+                "w_gate", nn.initializers.normal(dim**-0.5), (dim, e)
+            ),
+            w_in=self.param(
+                "w_in", nn.initializers.normal(dim**-0.5), (e, dim, hid)
+            ),
+            b_in=self.param("b_in", nn.initializers.zeros, (e, hid)),
+            w_out=self.param(
+                "w_out", nn.initializers.normal(hid**-0.5), (e, hid, dim)
+            ),
+            b_out=self.param("b_out", nn.initializers.zeros, (e, dim)),
+        )
+        p = jax.tree_util.tree_map(lambda w: w.astype(x.dtype), p)
+        n = x.shape[1]
+        capacity = max(1, int(np.ceil(self.capacity_factor * n / e)))
+        if self.impl == "reference":
+            y = moe_reference(p, x)
+            gate = jax.nn.softmax(
+                (x @ p.w_gate).astype(jnp.float32), axis=-1
+            )
+            sel = jax.nn.one_hot(jnp.argmax(gate, -1), e, dtype=gate.dtype)
+            aux = jnp.sum(
+                jnp.mean(sel, (0, 1)) * jnp.mean(gate, (0, 1))
+            ) * e
+        else:
+            y, aux = moe_ffn(p, x, capacity=capacity)
+        self.sow("losses", "moe_aux", aux)
+        return y
+
+
 class DenseAttention(nn.Module):
     """Fused-QKV multi-head self-attention (transformer.py:34-64)."""
 
@@ -100,13 +161,20 @@ class DenseAttention(nn.Module):
 
 
 class DenseTransformer(nn.Module):
-    """Pre-norm residual transformer stack (transformer.py:67-80)."""
+    """Pre-norm residual transformer stack (transformer.py:67-80).
+
+    ``moe_experts > 0`` swaps every FFN for a `MoEFeedForward` (expert
+    parallelism; the reference has none — new TPU-native capability).
+    """
 
     depth: int
     heads: int
     dim_head: int
     mlp_dim: int
     dropout: float = 0.0
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    moe_impl: str = "dispatch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -119,12 +187,16 @@ class DenseTransformer(nn.Module):
                 )(nn.LayerNorm()(x), train=train)
                 + x
             )
-            x = (
-                FeedForward(self.mlp_dim, dropout=self.dropout)(
-                    nn.LayerNorm()(x), train=train
+            if self.moe_experts > 0:
+                ff = MoEFeedForward(
+                    hidden_dim=self.mlp_dim,
+                    num_experts=self.moe_experts,
+                    capacity_factor=self.moe_capacity_factor,
+                    impl=self.moe_impl,
                 )
-                + x
-            )
+            else:
+                ff = FeedForward(self.mlp_dim, dropout=self.dropout)
+            x = ff(nn.LayerNorm()(x), train=train) + x
         return x
 
 

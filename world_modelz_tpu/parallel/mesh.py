@@ -89,6 +89,13 @@ DEFAULT_TP_RULES: Tuple[Tuple[str, P], ...] = (
     (r"FeedForward_\d+/Dense_0/kernel$", P(None, "model")),
     (r"ff(_\d+)?/Dense_1/kernel$", P("model", None)),
     (r"FeedForward_\d+/Dense_1/kernel$", P("model", None)),
+    # MoE FFNs: shard the EXPERT axis over 'model' — expert parallelism on
+    # the standard mesh; the dispatch/combine einsums become all-to-alls.
+    # The router (w_gate) stays replicated.
+    (r"MoEFeedForward_\d+/w_in$", P("model", None, None)),
+    (r"MoEFeedForward_\d+/w_out$", P("model", None, None)),
+    (r"MoEFeedForward_\d+/b_in$", P("model", None)),
+    (r"MoEFeedForward_\d+/b_out$", P("model", None)),
     # vocabulary-sized tables: shard the embedding feature dim stays small;
     # keep replicated (rows are gathered by token id) — no rule needed.
 )
