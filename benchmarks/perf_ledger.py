@@ -27,6 +27,7 @@ import time
 from typing import Callable
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 from world_modelz_tpu.utils import flops as F
@@ -394,6 +395,218 @@ def sec_train(led: Ledger):
         )
 
 
+def sec_train_b64(led: Ledger):
+    """Compiled train step at the reference's PRODUCTION configuration —
+    batch 64 (vq-video-diffusion/results/README.md:18) — so the gap between
+    compiled-step rate and observed end-to-end trainer rate is a tracked
+    number (VERDICT r2 #3). Pallas backend (the training default on TPU)."""
+    import optax
+
+    global M3_B
+    prev = M3_B
+    M3_B = 64
+    try:
+        fwd = F.local3d_transformer_flops(
+            M3_B, M3_SHAPE, num_classes=M3_K, **M3
+        )
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        model, params, tokens = _m3(backend, use_ckpt=(backend == "xla"))
+        target = jax.random.randint(
+            jax.random.PRNGKey(1), (M3_B, 16, 16), 0, M3_K
+        )
+        opt = optax.adamw(1e-4)
+        opt_state = opt.init(params)
+
+        def train_step(carry):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32
+                    else x,
+                    p,
+                )
+                logits = model.apply({"params": p}, tokens).astype(
+                    jnp.float32
+                )
+                return optax.softmax_cross_entropy_with_integer_labels(
+                    logits.reshape(-1, M3_K), target.reshape(-1)
+                ).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, new_opt = opt.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_opt)
+
+        s = timed_chain(train_step, (params, opt_state), iters=(2, 6))
+        led.record(
+            f"train_step/m3_b64/{backend}+bf16",
+            s,
+            F.train_step_flops(fwd, checkpointed=True),
+            batch=M3_B,
+            steps_per_sec=round(1 / s, 2),
+            samples_per_sec=round(M3_B / s, 1),
+            **{k: v for k, v in M3.items() if k != "extents"},
+        )
+    finally:
+        M3_B = prev
+
+
+def sec_train_e2e(led: Ledger):
+    """Ingest a real-trainer timing report (cli/video_diffusion
+    --timing_report) as an end-to-end ledger row with the host-overhead
+    breakdown in the config, so the compiled-vs-wall gap is explained by
+    tracked numbers instead of footnotes."""
+    path = os.environ.get(
+        "WMZ_TIMING_REPORT",
+        os.path.join(
+            os.path.dirname(OUT_DEFAULT), "train_e2e_timing.json"
+        ),
+    )
+    if not os.path.exists(path):
+        print(f"train_e2e: no timing report at {path} — run the trainer "
+              "with --timing_report first; skipping")
+        return
+    with open(path) as f:
+        rep = json.load(f)
+    fwd = F.local3d_transformer_flops(
+        rep["batch_size"], M3_SHAPE, num_classes=M3_K, **M3
+    )
+    s = 1.0 / rep["steps_per_sec"]
+    led.record(
+        "train_e2e/m3/trainer",
+        s,
+        F.train_step_flops(fwd, checkpointed=True),
+        batch=rep["batch_size"],
+        steps_per_sec=rep["steps_per_sec"],
+        samples_per_sec=round(rep["batch_size"] * rep["steps_per_sec"], 1),
+        window_steps=rep["window_steps"],
+        breakdown_pct=rep["breakdown_pct"],
+    )
+
+
+def sec_train_b64_g8(led: Ledger):
+    """Compiled b64 train step at the AS-TRAINED round-2/3 configuration
+    (downscale-3 tokenizer -> 6x8x8 token grid) so the end-to-end trainer
+    row divides by a compiled row of the SAME program shape."""
+    import optax
+
+    from world_modelz_tpu.models.video import VqVideoDiffusionModel
+
+    shape, b = (6, 8, 8), 64
+    fwd = F.local3d_transformer_flops(b, shape, num_classes=M3_K, **M3)
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = VqVideoDiffusionModel(
+        data_shape=shape, num_classes=M3_K, backend=backend,
+        use_checkpointing=(backend == "xla"), **M3,
+    )
+    key = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(key, (b, *shape), 0, M3_K + 1)
+    params = model.init(key, tokens)["params"]
+    target = jax.random.randint(jax.random.PRNGKey(1), (b, 8, 8), 0, M3_K)
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def train_step(carry):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32
+                else x,
+                p,
+            )
+            logits = model.apply({"params": p}, tokens).astype(jnp.float32)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, M3_K), target.reshape(-1)
+            ).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        return (optax.apply_updates(params, updates), new_opt)
+
+    s = timed_chain(train_step, (params, opt_state), iters=(2, 8))
+    led.record(
+        f"train_step/m3_b64_g8/{backend}+bf16",
+        s,
+        F.train_step_flops(fwd, checkpointed=True),
+        batch=b,
+        grid="8x8",
+        steps_per_sec=round(1 / s, 2),
+        samples_per_sec=round(b / s, 1),
+        **{k: v for k, v in M3.items() if k != "extents"},
+    )
+
+
+def sec_serve(led: Ledger):
+    """Serving path MFU: RolloutService end-to-end at model-#3 scale
+    (as-trained 8x8 grid), honest wall-clock (results materialize to host
+    numpy before futures resolve). Records clips/sec + MFU of the full
+    encode -> T x iters unmask -> decode pipeline."""
+    import time as _time
+
+    from world_modelz_tpu.models.video import VqVideoDiffusionModel
+    from world_modelz_tpu.serve import RolloutService
+    from world_modelz_tpu.models import VQAutoEncoder
+
+    S, IMG, T, ITERS, B, REQ = 6, 64, 8, 30, 8, 32
+    tok = VQAutoEncoder(
+        embedding_dim=64, num_embeddings=512, downscale_steps=3,
+        hidden_planes=128, in_channels=1,
+    )
+    key = jax.random.PRNGKey(0)
+    tok_state = tok.init(key, jnp.zeros((1, IMG, IMG, 1)))
+    h = w = IMG // 8
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = VqVideoDiffusionModel(
+        data_shape=(S, h, w), num_classes=512, backend=backend,
+        use_checkpointing=False, **M3,
+    )
+    params = model.init(key, jnp.zeros((1, S, h, w), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+    rng_np = np.random.default_rng(0)
+    clips = rng_np.uniform(size=(REQ, S, IMG, IMG, 1)).astype(np.float32)
+    svc = RolloutService(
+        tok, tok_state, model, params,
+        num_frames=T, num_iterations=ITERS, batch_size=B, max_wait_s=0.2,
+    )
+    try:
+        # warm every program in the timed path: the full-batch rollout
+        futs = [svc.submit(c) for c in clips[:B]]
+        [f.result() for f in futs]
+        t0 = _time.perf_counter()
+        futs = [svc.submit(c) for c in clips]
+        outs = [f.result() for f in futs]
+        dt = _time.perf_counter() - t0
+    finally:
+        svc.close()
+    assert all(o.shape[0] == T for o in outs)
+
+    # FLOPs per request: encode S frames + T*ITERS denoiser fwd + decode T
+    enc = S * F.vqae_encode_flops(
+        (IMG, IMG), 1, 64, 128, 3
+    ) + F.vq_search_flops(S * h * w, 512, 64)
+    fwdf = F.local3d_transformer_flops(1, (S, h, w), num_classes=512, **M3)
+    dec = T * F.vqae_decode_flops((IMG, IMG), 1, 64, 128, 3)
+    per_req = enc + T * ITERS * fwdf + dec
+    led.record(
+        "serve/m3_g8/rollout",
+        dt / REQ,
+        per_req,
+        requests=REQ,
+        batch=B,
+        frames=T,
+        iterations=ITERS,
+        clips_per_sec=round(REQ / dt, 2),
+        frames_per_sec=round(REQ * T / dt, 1),
+        occupancy_pct=100,
+    )
+
+
 def sec_denoise(led: Ledger):
     fwd = F.local3d_transformer_flops(M3_B, M3_SHAPE, num_classes=M3_K, **M3)
     backends = ["xla"] + (["pallas"] if jax.default_backend() == "tpu" else [])
@@ -458,6 +671,10 @@ SECTIONS = {
     "vq": sec_vq,
     "attn": sec_attn,
     "train": sec_train,
+    "train_b64": sec_train_b64,
+    "train_b64_g8": sec_train_b64_g8,
+    "train_e2e": sec_train_e2e,
+    "serve": sec_serve,
     "denoise": sec_denoise,
 }
 
@@ -475,6 +692,9 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from world_modelz_tpu.utils import compcache
+
+    compcache.enable()  # skip repeat relay compiles between ledger runs
     if args.quick:
         global TOK_BATCH, TOK_IMG, ITERS, TRIALS, M3, M3_B, QUICK
         QUICK = True

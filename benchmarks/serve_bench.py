@@ -25,9 +25,13 @@ def main():
     p.add_argument("--frames", type=int, default=8)
     p.add_argument("--iterations", type=int, default=30)
     p.add_argument("--platform", default="")
+    p.add_argument("--mode", default="submit", choices=["submit", "session"])
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from world_modelz_tpu.utils import compcache
+
+    compcache.enable()
 
     from world_modelz_tpu.models import VQAutoEncoder
     from world_modelz_tpu.models.video import VqVideoDiffusionModel
@@ -63,24 +67,43 @@ def main():
         batch_size=args.batch, max_wait_s=0.2,
     )
     try:
-        # warm (compile) outside the timed window
-        svc.submit(clips[0]).result()
+        # warm (compile) the FULL-batch rollout outside the timed window —
+        # the compiled-size ladder means a single warm request would only
+        # compile the size-1 program
+        futs = [svc.submit(c) for c in clips[: args.batch]]
+        [f.result() for f in futs]
 
-        t0 = time.perf_counter()
-        futs = [svc.submit(c) for c in clips]
-        outs = [f.result() for f in futs]
-        dt = time.perf_counter() - t0
+        if args.mode == "session":
+            # streaming: one session per stream, seed encoded once, each
+            # generate() continues from the device-rolled token context
+            sessions = [
+                svc.open_session(clips[i % len(clips)])
+                for i in range(args.batch)
+            ]
+            segs = args.requests // args.batch
+            t0 = time.perf_counter()
+            for _ in range(segs):
+                futs = [s.generate_async() for s in sessions]
+                outs = [f.result() for f in futs]
+            dt = time.perf_counter() - t0
+            n_done = segs * args.batch
+        else:
+            t0 = time.perf_counter()
+            futs = [svc.submit(c) for c in clips]
+            outs = [f.result() for f in futs]
+            dt = time.perf_counter() - t0
+            n_done = args.requests
     finally:
         svc.close()
 
     assert all(o.shape[0] == args.frames for o in outs)
     occ = svc.stats["requests"] / max(svc.stats["batched_rows"], 1)
     print(
-        f"serve [{jax.default_backend()}]: {args.requests} requests "
+        f"serve[{args.mode}] [{jax.default_backend()}]: {n_done} requests "
         f"({args.frames} frames, {args.iterations} iters each) in {dt:.2f}s "
-        f"-> {args.requests / dt:.2f} clips/sec, "
-        f"{args.requests * args.frames / dt:.1f} frames/sec, "
-        f"batch occupancy {occ:.0%}"
+        f"-> {n_done / dt:.2f} clips/sec, "
+        f"{n_done * args.frames / dt:.1f} frames/sec, "
+        f"batch occupancy {occ:.0%}, stats {svc.stats}"
     )
 
 

@@ -55,14 +55,86 @@ def test_serve_batches_and_resolves(stack):
     assert svc.stats["batches"] == 2
 
 
-def test_serve_single_request_pads(stack):
+def test_serve_single_request_uses_small_program(stack):
+    """The compiled-size ladder: a lone request runs the size-1 program
+    instead of padding to the full batch (round-2 review: padding by
+    repetition wasted compute at low occupancy)."""
     rng = np.random.default_rng(1)
     with _service(stack, max_wait_s=0.01) as svc:
         out = svc.submit(
             rng.uniform(size=(S, IMG, IMG, C)).astype(np.float32)
         ).result(timeout=120)
     assert out.shape == (2, IMG, IMG, C)
-    assert svc.stats == {"requests": 1, "batches": 1, "batched_rows": 4}
+    assert svc.stats["requests"] == 1
+    assert svc.stats["batches"] == 1
+    assert svc.stats["batched_rows"] == 1  # ladder size 1, not batch 4
+    assert svc.stats["padded_rows"] == 0
+
+
+def test_serve_ladder_pads_to_next_size(stack):
+    """3 requests at batch 4 -> the size-4 program with one padded row,
+    tracked in stats."""
+    rng = np.random.default_rng(3)
+    with _service(stack, max_wait_s=0.5) as svc:
+        futs = [
+            svc.submit(rng.uniform(size=(S, IMG, IMG, C)).astype(np.float32))
+            for _ in range(3)
+        ]
+        [f.result(timeout=120) for f in futs]
+    assert svc.stats["batches"] == 1
+    assert svc.stats["batched_rows"] == 4
+    assert svc.stats["padded_rows"] == 1
+
+
+def test_serve_session_reuses_encoding(stack):
+    """Streaming session: the seed clip is encoded exactly once; each
+    generate() continues from the device-rolled token context."""
+    rng = np.random.default_rng(4)
+    clip = rng.uniform(size=(S, IMG, IMG, C)).astype(np.float32)
+    with _service(stack, max_wait_s=0.01) as svc:
+        sess = svc.open_session(clip)
+        ctx0 = np.array(sess._ctx)
+        a = sess.generate()
+        ctx1 = np.array(sess._ctx)
+        b = sess.generate()
+    assert a.shape == (2, IMG, IMG, C) and b.shape == (2, IMG, IMG, C)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert svc.stats["encoded_clips"] == 1  # only open_session encoded
+    assert svc.stats["session_rows"] == 2
+    # the context advanced: oldest frames dropped, generated tokens in
+    assert ctx0.shape == ctx1.shape
+    assert not np.array_equal(ctx0, ctx1)
+    # generation slot (last frame) is carried through unchanged
+    np.testing.assert_array_equal(ctx0[-1], ctx1[-1])
+
+
+def test_serve_session_single_flight(stack):
+    rng = np.random.default_rng(5)
+    clip = rng.uniform(size=(S, IMG, IMG, C)).astype(np.float32)
+    with _service(stack, max_wait_s=0.3) as svc:
+        sess = svc.open_session(clip)
+        f1 = sess.generate_async()
+        with pytest.raises(RuntimeError):
+            sess.generate_async()
+        f1.result(timeout=120)
+        sess.generate()  # fine after the first resolves
+
+
+def test_rolled_context_math():
+    """rolled_context == the final scan carry of rollout_frames' shift."""
+    from world_modelz_tpu.serve import rolled_context
+
+    tokens = jnp.arange(2 * 4 * 1 * 1).reshape(2, 4, 1, 1)
+    gen = 100 + jnp.arange(2 * 2 * 1 * 1).reshape(2, 2, 1, 1)
+    # emulate the scan: ctx = concat(ctx[:,1:-1], frame, ctx[:,-1:])
+    ctx = tokens
+    for t in range(gen.shape[1]):
+        ctx = jnp.concatenate(
+            [ctx[:, 1:-1], gen[:, t : t + 1], ctx[:, -1:]], axis=1
+        )
+    np.testing.assert_array_equal(
+        np.asarray(rolled_context(tokens, gen)), np.asarray(ctx)
+    )
 
 
 def test_serve_concurrent_submitters(stack):

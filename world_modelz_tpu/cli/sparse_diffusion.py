@@ -167,6 +167,10 @@ def decode_volume(
 
 
 def train(cfg: SparseDiffusionConfig):
+    from world_modelz_tpu.utils import compcache
+
+    compcache.enable()  # skip repeat relay compiles (1-4 min each)
+
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
     mesh = make_mesh(n_model=cfg.n_model, n_pipe=cfg.n_pipe)

@@ -170,6 +170,10 @@ def _loss_fn(kind: str):
 
 
 def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
+    from world_modelz_tpu.utils import compcache
+
+    compcache.enable()  # skip repeat relay compiles (1-4 min each)
+
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
     mesh = make_mesh(n_model=cfg.n_model)

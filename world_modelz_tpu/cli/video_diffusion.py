@@ -23,6 +23,7 @@ Python loop, sampler .cpu() update, SURVEY.md §3.2) are gone.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Optional, Tuple
@@ -108,6 +109,12 @@ class VideoDiffusionConfig:
     p_max_uniform: float = 0.1
     log_interval: int = 10
     histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
+    # write an end-to-end timing breakdown JSON on exit (ledger section
+    # train_e2e ingests it): steps/sec over the post-warmup window between
+    # log-point value readbacks, plus host time shares (data / dispatch /
+    # log sync / checkpoint / eval). Honest on relay backends: window
+    # endpoints are value readbacks, never enqueue fences.
+    timing_report: str = ""
 
     dim: int = 256
     extents: Tuple[int, int, int] = (3, 3, 3)
@@ -268,6 +275,10 @@ def evaluate_and_save(
 
 
 def train(cfg: VideoDiffusionConfig):
+    from world_modelz_tpu.utils import compcache
+
+    compcache.enable()  # skip repeat relay compiles (1-4 min each)
+
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
     if not cfg.decoder_model:
@@ -481,15 +492,24 @@ def train(cfg: VideoDiffusionConfig):
     guard = CheckpointGuard(restore_latest)
     t0 = time.time()
     rejected = 0
+    # end-to-end timing (cfg.timing_report): host-side time sinks plus a
+    # steps/sec window anchored on log-point readbacks (value fences)
+    timers = {"data": 0.0, "dispatch": 0.0, "log_sync": 0.0,
+              "checkpoint": 0.0, "eval": 0.0}
+    win = {"step": None, "time": None, "steps": 0, "secs": 0.0}
     try:
         for step in range(start_step + 1, cfg.max_steps + 1):
+            tt = time.perf_counter()
             frames = next(batches)
+            timers["data"] += time.perf_counter() - tt
             key, sub = jax.random.split(key)
+            tt = time.perf_counter()
             params, ema_params, opt_state, sampler_state, loss, gn, ok = (
                 train_step(
                     params, ema_params, opt_state, sampler_state, frames, sub
                 )
             )
+            timers["dispatch"] += time.perf_counter() - tt
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 # the guard acts on-device every step; the host only samples
                 # the flag at log points to avoid a per-step readback sync
@@ -502,8 +522,21 @@ def train(cfg: VideoDiffusionConfig):
                     params, ema_params, opt_state, sampler_state = restored
                 dt = time.time() - t0
                 t0 = time.time()
+                tt = time.perf_counter()
+                loss_host = float(loss)  # value readback: fences the device
+                now = time.perf_counter()
+                timers["log_sync"] += now - tt
+                # window: from the 2nd log point (warmup/compile excluded)
+                # to the latest one, both at fence time
+                if win["step"] is None and step > start_step + 1:
+                    win["step"], win["time"] = step, now
+                    win["timers0"] = dict(timers)
+                elif win["step"] is not None:
+                    win["steps"] = step - win["step"]
+                    win["secs"] = now - win["time"]
+                    win["timersN"] = dict(timers)
                 m = {
-                    "loss": float(loss),
+                    "loss": loss_host,
                     "grad_norm": float(gn),
                     "lr": float(schedule(step)),
                     "steps_per_sec": cfg.log_interval / max(dt, 1e-9),
@@ -522,6 +555,7 @@ def train(cfg: VideoDiffusionConfig):
                 )
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+                tt = time.perf_counter()
                 path = save_checkpoint(
                     cfg.output_dir,
                     step,
@@ -533,9 +567,11 @@ def train(cfg: VideoDiffusionConfig):
                     },
                     config_to_dict(cfg),
                 )
+                timers["checkpoint"] += time.perf_counter() - tt
                 print("checkpoint:", path)
 
             if cfg.eval_interval and step % cfg.eval_interval == 0:
+                tt = time.perf_counter()
                 evals = [("base", params)]
                 if ema_params is not None:
                     evals.append(("ema", ema_params))
@@ -546,7 +582,41 @@ def train(cfg: VideoDiffusionConfig):
                         tok_state=tok_state, clip_fn=clip_fn, key=sub,
                         tag=tag, step=step, logger=logger,
                     )
+                timers["eval"] += time.perf_counter() - tt
     finally:
+        if cfg.timing_report and win["steps"] > 0:
+            import json as _json
+
+            sps = win["steps"] / max(win["secs"], 1e-9)
+            total = max(win["secs"], 1e-9)
+            report = {
+                "batch_size": cfg.batch_size,
+                "window_steps": win["steps"],
+                "window_secs": round(win["secs"], 3),
+                "steps_per_sec": round(sps, 3),
+                "samples_per_sec": round(sps * cfg.batch_size, 1),
+                # host-side shares of the window wall-clock; the remainder
+                # is device compute overlapped with nothing (the dispatch
+                # share is host-visible enqueue time, not device time)
+                "breakdown_pct": {
+                    k: round(
+                        100.0
+                        * (win["timersN"][k] - win["timers0"][k])
+                        / total,
+                        1,
+                    )
+                    for k in timers
+                },
+                "config": config_to_dict(cfg),
+            }
+            os.makedirs(
+                os.path.dirname(os.path.abspath(cfg.timing_report)),
+                exist_ok=True,
+            )
+            with open(cfg.timing_report, "w") as f:
+                _json.dump(report, f, indent=1)
+            print("timing report:", cfg.timing_report, report["steps_per_sec"],
+                  "steps/s")
         batches.close()
         logger.close()
         if sampler is not None:

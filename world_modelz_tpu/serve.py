@@ -5,20 +5,30 @@ per eval (SURVEY.md §3.4) — one clip at a time, no batching, host round
 trips between denoise iterations. This service is the TPU-native serving
 design:
 
-- ONE jitted program (frozen-tokenizer encode -> scan'd iterative-unmask
-  rollout -> decode) compiled once for a fixed batch size; no recompiles.
+- TWO jitted programs: a seed-clip ENCODER (pixels -> token context) and a
+  fused ROLLOUT (scan'd iterative-unmask over the token grid -> decode to
+  pixels + the UPDATED token context). The 30-iteration x num_frames
+  sampling loop never re-enters Python (diffusion/masked.py
+  `rollout_frames`).
 - Requests enqueue from any thread; a worker coalesces up to `batch_size`
-  of them (waiting at most `max_wait_s` after the first), pads short
-  batches by repetition, runs the program, and resolves per-request
-  futures with their slice.
-- Everything between submit and result is a single device program — the
-  30-iteration x num_frames sampling loop never re-enters Python
-  (diffusion/masked.py `rollout_frames`).
+  of them (waiting at most `max_wait_s` after the first) and runs the
+  rollout at the smallest compiled size in a power-of-two ladder that fits
+  the batch — low-occupancy batches no longer pay full-batch compute
+  (`stats["padded_rows"]` tracks the remaining waste).
+- Streaming sessions (`open_session`): the seed clip is encoded ONCE; each
+  `generate()` feeds the session's cached token context and receives the
+  rolled context back from the device — no pixel re-upload and no
+  re-encode per step (the round-2 service re-encoded the full seed clip
+  every batch).
 
 Example:
     svc = RolloutService(tok, tok_state, model, params, num_frames=8)
     futs = [svc.submit(clip) for clip in clips]   # (S, H, W, C) each
     videos = [f.result() for f in futs]           # (T, H, W, C) each
+
+    sess = svc.open_session(clip)                 # encode once
+    a = sess.generate()                           # (T, H, W, C)
+    b = sess.generate()                           # continues from a
     svc.close()
 """
 
@@ -34,6 +44,50 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def rolled_context(tokens: jnp.ndarray, gen: jnp.ndarray) -> jnp.ndarray:
+    """Context for the NEXT rollout call after generating `gen`.
+
+    `rollout_frames` shifts its context one frame per generated frame,
+    keeping the last (generation-slot) frame in place (main2.py:128-129);
+    this reproduces the final carry from (tokens (B,S,th,tw), gen
+    (B,T,th,tw)) so streaming sessions can continue without re-encoding.
+    """
+    s = tokens.shape[1]
+    full = jnp.concatenate([tokens[:, :-1], gen], axis=1)
+    return jnp.concatenate([full[:, -(s - 1):], tokens[:, -1:]], axis=1)
+
+
+class RolloutSession:
+    """A streaming rollout whose token context lives with the service.
+
+    One generate() may be in flight at a time (the context of call N+1 is
+    the output of call N).
+    """
+
+    def __init__(self, svc: "RolloutService", context_tokens: np.ndarray):
+        self._svc = svc
+        self._ctx = context_tokens  # (S, th, tw) int
+        self._inflight: Optional[Future] = None
+        self._lock = threading.Lock()
+
+    def generate_async(self) -> Future:
+        """Enqueue the next segment; resolves to (T, H, W, C) pixels."""
+        with self._lock:
+            if self._inflight is not None and not self._inflight.done():
+                raise RuntimeError(
+                    "session already has a generate() in flight"
+                )
+            fut = self._svc._submit_tokens(self._ctx, self)
+            self._inflight = fut
+            return fut
+
+    def generate(self) -> np.ndarray:
+        return self.generate_async().result()
+
+    def _update(self, new_ctx: np.ndarray) -> None:
+        self._ctx = new_ctx
+
+
 class RolloutService:
     """Request-coalescing batched video rollout.
 
@@ -43,7 +97,8 @@ class RolloutService:
       num_frames: generated frames per request.
       num_iterations: unmask iterations per frame (main2.py:81 uses 30).
       sample_topk: top-k logit truncation (-1 = off).
-      batch_size: compiled batch size (the coalescing limit).
+      batch_size: max coalesced batch; compiled sizes are the powers of two
+        up to it (lazily, first use of each size pays its compile).
       max_wait_s: max time the worker waits to fill a batch after the
         first request arrives.
       seed: PRNG seed for the sampling key stream.
@@ -73,14 +128,24 @@ class RolloutService:
         self._queue: "queue.Queue" = queue.Queue()
         self._key = jax.random.PRNGKey(seed)
         self._closed = False
-        self.stats = {"requests": 0, "batches": 0, "batched_rows": 0}
+        self.stats = {
+            "requests": 0,
+            "batches": 0,
+            "batched_rows": 0,  # rows actually run (compiled-size total)
+            "padded_rows": 0,  # rows wasted on padding
+            "encoded_clips": 0,  # pixel seed clips pushed through encode
+            "session_rows": 0,  # rows served from cached token contexts
+        }
 
         k = tok.num_embeddings
 
-        def program(params, tok_state, seeds, key):
+        def encode_program(tok_state, seeds):
             b, s, h, w, c = seeds.shape
             tokens = tok.encode(tok_state, seeds.reshape(b * s, h, w, c))
-            tokens = tokens.reshape(b, s, *tokens.shape[1:])
+            return tokens.reshape(b, s, *tokens.shape[1:])
+
+        def rollout_program(params, tok_state, tokens, key):
+            b = tokens.shape[0]
             gen = rollout_frames(
                 key,
                 lambda z: model.apply({"params": params}, z),
@@ -95,22 +160,64 @@ class RolloutService:
             decoded = tok.decode(
                 tok_state, gen.reshape(b * t, *gen.shape[2:])
             )
-            return decoded.reshape(b, t, *decoded.shape[1:])
+            decoded = decoded.reshape(b, t, *decoded.shape[1:])
+            return decoded, rolled_context(tokens, gen)
 
-        self._program = jax.jit(program)
+        self._encode = jax.jit(encode_program)
+        self._rollout = jax.jit(rollout_program)
+        # compiled-size ladder: powers of two up to batch_size
+        sizes = []
+        s = 1
+        while s < self._batch_size:
+            sizes.append(s)
+            s *= 2
+        sizes.append(self._batch_size)
+        self._sizes = sorted(set(sizes))
         self._lifecycle = threading.Lock()  # orders submit() vs close()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
+    # ------------------------------------------------------------------ API
+
     def submit(self, seed_clip: np.ndarray) -> Future:
         """Enqueue one (S, H, W, C) seed clip; resolves to (T, H, W, C)."""
+        return self._enqueue(("pixels", np.asarray(seed_clip), None))
+
+    def open_session(self, seed_clip: np.ndarray) -> RolloutSession:
+        """Encode the seed clip once; stream segments via the session."""
+        seeds = jnp.asarray(np.asarray(seed_clip)[None])
+        ctx = np.asarray(self._encode(self._tok_state, seeds))[0]
+        self.stats["encoded_clips"] += 1
+        return RolloutSession(self, ctx)
+
+    def close(self):
+        """Drain and stop the worker; pending requests still complete."""
+        with self._lifecycle:
+            if self._closed:
+                return
+            self._closed = True
+            self._queue.put(None)
+        self._worker.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ------------------------------------------------------------- internals
+
+    def _submit_tokens(self, ctx: np.ndarray, session: RolloutSession) -> Future:
+        return self._enqueue(("tokens", np.asarray(ctx), session))
+
+    def _enqueue(self, item) -> Future:
         fut: Future = Future()
         # the lock makes closed-check + enqueue atomic w.r.t. close(): no
         # request can land behind the shutdown signal and starve its future
         with self._lifecycle:
             if self._closed:
                 raise RuntimeError("service is closed")
-            self._queue.put((np.asarray(seed_clip), fut))
+            self._queue.put((item, fut))
         return fut
 
     def _take_batch(self):
@@ -134,29 +241,63 @@ class RolloutService:
             batch.append(item)
         return batch
 
+    def _prog_size(self, n: int) -> int:
+        for s in self._sizes:
+            if s >= n:
+                return s
+        return self._batch_size
+
     def _run(self):
         while True:
             batch = self._take_batch()
             if batch is None:
                 return
-            clips = [c for c, _ in batch]
+            items = [it for it, _ in batch]
             futs = [f for _, f in batch]
             try:
-                n = len(clips)
-                # pad to the compiled batch size by repetition
-                while len(clips) < self._batch_size:
-                    clips.append(clips[-1])
-                seeds = jnp.asarray(np.stack(clips))
-                self._key, sub = jax.random.split(self._key)
-                out = np.asarray(
-                    self._program(
-                        self._params, self._tok_state, seeds, sub
+                n = len(items)
+                size = self._prog_size(n)
+
+                # pixel requests: encode their seed clips (one padded call)
+                pix_idx = [i for i, it in enumerate(items) if it[0] == "pixels"]
+                contexts: list = [None] * n
+                if pix_idx:
+                    clips = [items[i][1] for i in pix_idx]
+                    m = len(clips)
+                    psize = self._prog_size(m)
+                    while len(clips) < psize:
+                        clips.append(clips[-1])
+                    enc = np.asarray(
+                        self._encode(
+                            self._tok_state, jnp.asarray(np.stack(clips))
+                        )
                     )
+                    for j, i in enumerate(pix_idx):
+                        contexts[i] = enc[j]
+                    self.stats["encoded_clips"] += m
+                for i, it in enumerate(items):
+                    if it[0] == "tokens":
+                        contexts[i] = it[1]
+                        self.stats["session_rows"] += 1
+
+                ctxs = list(contexts)
+                while len(ctxs) < size:
+                    ctxs.append(ctxs[-1])
+                tokens = jnp.asarray(np.stack(ctxs))
+                self._key, sub = jax.random.split(self._key)
+                out, new_ctx = self._rollout(
+                    self._params, self._tok_state, tokens, sub
                 )
+                out = np.asarray(out)
+                new_ctx = np.asarray(new_ctx)
                 self.stats["requests"] += n
                 self.stats["batches"] += 1
-                self.stats["batched_rows"] += self._batch_size
+                self.stats["batched_rows"] += size
+                self.stats["padded_rows"] += size - n
                 for i, fut in enumerate(futs):
+                    session = items[i][2]
+                    if session is not None:
+                        session._update(new_ctx[i])
                     # a client may have cancel()ed a queued future; resolving
                     # it would raise InvalidStateError and poison the rest of
                     # the batch via the except below
@@ -166,21 +307,6 @@ class RolloutService:
                 for fut in futs:
                     if not fut.done():
                         fut.set_exception(e)
-
-    def close(self):
-        """Drain and stop the worker; pending requests still complete."""
-        with self._lifecycle:
-            if self._closed:
-                return
-            self._closed = True
-            self._queue.put(None)
-        self._worker.join()
-
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        self.close()
 
 
 def _now() -> float:
