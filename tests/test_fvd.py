@@ -1,5 +1,7 @@
 """FVD harness tests: Fréchet math, extractors, end-to-end scoring."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -128,3 +130,52 @@ def test_i3d_loader_roundtrip(tmp_path):
     a = F.i3d_features(model, variables, vids)
     b = F.i3d_features(model2, loaded, vids)
     assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_fvd_bootstrap_ci_sane():
+    """CI contains the point estimate (recentered percentile interval), a clear
+    distribution shift is detected with a CI excluding the noise floor's,
+    and results are deterministic in the seed."""
+    from world_modelz_tpu.utils.fvd import fvd_bootstrap
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(48, 16))
+    b = rng.normal(size=(48, 16))          # same distribution
+    c = rng.normal(size=(48, 16)) + 2.0    # shifted
+
+    f_ab, lo_ab, hi_ab = fvd_bootstrap(a, b, n_boot=60, seed=1)
+    assert lo_ab <= f_ab <= hi_ab
+    assert lo_ab >= 0.0
+
+    f_ac, lo_ac, hi_ac = fvd_bootstrap(a, c, n_boot=60, seed=1)
+    assert lo_ac <= f_ac <= hi_ac
+    assert lo_ac > hi_ab  # the shift is resolvable above the floor
+
+    again = fvd_bootstrap(a, c, n_boot=60, seed=1)
+    assert again == (f_ac, lo_ac, hi_ac)
+
+
+def test_fvd_calibration_tool_end_to_end(tmp_path):
+    """Drive benchmarks/fvd_calibration.py at tiny n: curves are produced
+    for every corruption, strengths are monotone non-decreasing for
+    dropout at the extremes, and the JSON artifact is written."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "fvd_calibration",
+        os.path.join(root, "benchmarks", "fvd_calibration.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = str(tmp_path / "cal.json")
+    rep = mod.run(
+        clips=10, frames=4, image_size=32, extractors=("tiny",),
+        n_boot=25, seed=0, out=out, strengths=(0.25, 1.0),
+    )
+    assert os.path.exists(out)
+    curves = rep["curves"]["tiny"]
+    assert set(curves) == {"blur", "dropout", "shuffle"}
+    drop = curves["dropout"]
+    assert drop[-1]["fvd"] > drop[0]["fvd"]
+    assert drop[-1]["fvd"] > rep["noise_floor"]["tiny"]["fvd"]

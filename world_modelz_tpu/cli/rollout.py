@@ -178,12 +178,19 @@ def run(cfg: RolloutConfig):
         extractor = fvd_lib.make_extractor(
             cfg.fvd_feature_net, cfg.fvd_weights or None
         )
-        score = fvd_lib.fvd(
-            real_videos, gen_videos, extractor, cfg.fvd_batch_size
+        real_f = fvd_lib.extract_features(
+            extractor, real_videos, cfg.fvd_batch_size
+        )
+        gen_f = fvd_lib.extract_features(
+            extractor, gen_videos, cfg.fvd_batch_size
+        )
+        score, lo, hi = fvd_lib.fvd_bootstrap(
+            real_f, gen_f, seed=cfg.manual_seed
         )
         record = {
             "step": step,
             "fvd": score,
+            "fvd_ci95": [lo, hi],
             "feature_net": cfg.fvd_feature_net,
             "clips": int(len(gen_videos)),
             "frames_per_clip": int(t),

@@ -96,6 +96,47 @@ def fvd_from_features(real_feats, gen_feats) -> float:
     return frechet_distance(mu_r, s_r, mu_g, s_g)
 
 
+def fvd_bootstrap(
+    real_feats,
+    gen_feats,
+    n_boot: int = 200,
+    seed: int = 0,
+    ci: float = 0.95,
+) -> Tuple[float, float, float]:
+    """FVD point estimate + bootstrap confidence interval.
+
+    Clip-level resampling with replacement on BOTH sides; returns
+    (fvd, lo, hi). FVD is a biased, high-variance estimator at small N
+    (round-2 review: 16-clip FVDs were flat across checkpoints — pure
+    estimator noise was indistinguishable from signal), so every reported
+    number should carry its CI.
+
+    Uses a RECENTERED percentile interval: resampling with replacement
+    shrinks the effective sample and biases FVD upward by a roughly
+    constant amount, so raw percentile intervals sit entirely above the
+    point estimate (and the basic/reflected interval overshoots the
+    correction and sits entirely below it). Instead we take the bootstrap
+    distribution's spread around its own mean — which is bias-free to
+    first order — and anchor it at the point estimate:
+    ``point + q_{a/2..1-a/2}(samples - mean(samples))``. lo clamps at 0.
+    """
+    real_feats = np.asarray(real_feats)
+    gen_feats = np.asarray(gen_feats)
+    point = fvd_from_features(real_feats, gen_feats)
+    rng = np.random.default_rng(seed)
+    n_r, n_g = len(real_feats), len(gen_feats)
+    samples = np.empty(n_boot)
+    for i in range(n_boot):
+        rs = real_feats[rng.integers(0, n_r, n_r)]
+        gs = gen_feats[rng.integers(0, n_g, n_g)]
+        samples[i] = fvd_from_features(rs, gs)
+    alpha = (1.0 - ci) / 2.0
+    d_lo, d_hi = np.quantile(samples - samples.mean(), [alpha, 1.0 - alpha])
+    lo = max(0.0, point + d_lo)
+    hi = max(0.0, point + d_hi)
+    return float(point), float(lo), float(hi)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic random-feature extractor (no weights required)
 # ---------------------------------------------------------------------------
