@@ -322,6 +322,51 @@ def sec_attn(led: Ledger):
     one("sber", 2, 16, 32, 32, 128, (3, 1, 1), 1)  # Sber 32x32 (H-tiled)
 
 
+def sec_attn_block(led: Ledger):
+    """Whole residual-attention BLOCK (QKV projections + windowed attention
+    + output projection + residual) at the flagship m3 shape. The round-2
+    review showed the attention *op* alone is launch/HBM-bound there (XLA
+    ~parity); the round-3 fused kernel (`kernels.local3d_block`) keeps the
+    whole block's intermediates in VMEM. Rows: xla (all-XLA), pallas
+    (XLA projections + attention kernel), fused (one program per clip)."""
+    from world_modelz_tpu.models.attention import Local3dAttention
+
+    b, (s, h, w) = M3_B, M3_SHAPE
+    dim, heads = M3["dim"], M3["heads"]
+    dh, extents = M3["dim_head"], M3["extents"]
+    if QUICK:
+        b, s, h, w, dim, dh = 1, 3, 8, 8, 32, 16
+    inner = heads * dh
+    n = b * s * h * w
+    fl = (
+        3 * 2 * n * dim * inner          # k/v/q projections
+        + 2 * n * inner * dim            # output projection
+        + F.local3d_attention_flops(n, extents, inner)
+    )
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, s, h, w, dim), jnp.bfloat16)
+    on_tpu = jax.default_backend() == "tpu"
+    # "fused" resolves via auto so f32 init falls back instead of raising
+    backends = ["xla"] + (["pallas", "fused"] if on_tpu else [])
+    for backend in backends:
+        m = Local3dAttention(
+            extents=extents, heads=heads, dim_head=dh,
+            backend="auto" if backend == "fused" else backend,
+        )
+        params = jax.tree_util.tree_map(
+            lambda t: t.astype(jnp.bfloat16),
+            m.init(jax.random.PRNGKey(1), x, x)["params"],
+        )
+        s_ = timed_chain(
+            lambda t: m.apply({"params": params}, t, t) + t, x,
+            iters=ITERS if QUICK else (10, 60),
+        )
+        led.record(
+            f"attn_block/m3/{backend}", s_, fl,
+            b=b, s=s, hw=f"{h}x{w}", dim=dim, inner=inner, extents=extents,
+        )
+
+
 # --------------------------------------------------------------------------
 # model #3 train step + denoise forward
 # --------------------------------------------------------------------------
@@ -354,9 +399,16 @@ def sec_train(led: Ledger):
     fwd = F.local3d_transformer_flops(
         M3_B, M3_SHAPE, num_classes=M3_K, **M3
     )
-    backends = ["xla"] + (["pallas"] if jax.default_backend() == "tpu" else [])
+    # "fused" resolves through auto: bf16 apply picks the whole-block
+    # kernel, the f32 init traces the fallback instead of raising
+    backends = ["xla"] + (
+        ["pallas", "fused"] if jax.default_backend() == "tpu" else []
+    )
     for backend in backends:
-        model, params, tokens = _m3(backend, use_ckpt=(backend == "xla"))
+        model, params, tokens = _m3(
+            "auto" if backend == "fused" else backend,
+            use_ckpt=(backend == "xla"),
+        )
         target = jax.random.randint(
             jax.random.PRNGKey(1), (M3_B, 16, 16), 0, M3_K
         )
@@ -609,9 +661,13 @@ def sec_serve(led: Ledger):
 
 def sec_denoise(led: Ledger):
     fwd = F.local3d_transformer_flops(M3_B, M3_SHAPE, num_classes=M3_K, **M3)
-    backends = ["xla"] + (["pallas"] if jax.default_backend() == "tpu" else [])
+    backends = ["xla"] + (
+        ["pallas", "fused"] if jax.default_backend() == "tpu" else []
+    )
     for backend in backends:
-        model, params, tokens = _m3(backend, use_ckpt=False)
+        model, params, tokens = _m3(
+            "auto" if backend == "fused" else backend, use_ckpt=False
+        )
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params,
@@ -670,6 +726,7 @@ SECTIONS = {
     "tokenize512": sec_tokenize_b512,
     "vq": sec_vq,
     "attn": sec_attn,
+    "attn_block": sec_attn_block,
     "train": sec_train,
     "train_b64": sec_train_b64,
     "train_b64_g8": sec_train_b64_g8,

@@ -433,3 +433,125 @@ def test_allframes_route_selection():
     assert fits_vmem_allframes(6, 16, 16, (3, 1, 1), 128)
     assert not fits_vmem_allframes_bwd(6, 16, 16, (3, 1, 1), 128)
     assert not fits_vmem_allframes(32, 16, 16, (3, 1, 1), 128)
+
+
+# ---------------------------------------------------------------------------
+# Fused whole-block kernel (local3d_block)
+# ---------------------------------------------------------------------------
+
+
+def _block_operands(rng, b=2, s=4, h=4, w=4, dim=24, heads=2, dh=8,
+                    dtype=np.float32):
+    inner = heads * dh
+    f = lambda *shape: jnp.asarray(rng.normal(size=shape).astype(dtype))
+    x_kv = f(b, s, h, w, dim)
+    q_in = f(b, s, h, w, dim)
+    wk, wv, wq = f(dim, inner), f(dim, inner), f(dim, inner)
+    bv = f(inner)
+    wo, bo = f(inner, dim), f(dim)
+    return x_kv, q_in, wk, wv, bv, wq, wo, bo
+
+
+def test_local3d_block_matches_composition(rng):
+    from world_modelz_tpu.kernels.local3d_block import (
+        _block_reference,
+        local3d_block,
+    )
+
+    extents, heads = (1, 1, 1), 2
+    ops = _block_operands(rng, heads=heads)
+    ref = _block_reference(*ops, extents, heads)
+    out = local3d_block(*ops, extents, heads, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_local3d_block_gradients_match_composition(rng):
+    from world_modelz_tpu.kernels.local3d_block import (
+        _block_reference,
+        local3d_block,
+    )
+
+    extents, heads = (2, 1, 1), 1
+    ops = _block_operands(rng, s=5, heads=1, dh=16)
+    # cotangent fixed (loss linear in out) so the comparison isolates the
+    # vjp math from fwd-output rounding differences
+    cot = jnp.asarray(
+        rng.normal(size=(2, 5, 4, 4, 24)).astype(np.float32)
+    )
+
+    def loss_ref(*ops):
+        return jnp.sum(_block_reference(*ops, extents, heads) * cot)
+
+    def loss_fused(*ops):
+        return jnp.sum(local3d_block(*ops, extents, heads, True) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*ops)
+    g_fus = jax.grad(loss_fused, argnums=tuple(range(8)))(*ops)
+    for a, b_ in zip(g_fus, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=1e-3, atol=1e-4
+        )
+
+
+def test_local3d_module_fused_backend_matches_xla(rng):
+    """The full Local3dAttention module produces the same values and
+    parameter gradients under backend='fused' (interpret) and 'xla'."""
+    from world_modelz_tpu.models.attention import Local3dAttention
+
+    extents, heads, dim_head, dim = (1, 1, 1), 1, 12, 20
+    b, s, h, w = 2, 3, 4, 4
+    x = jnp.asarray(rng.normal(size=(b, s, h, w, dim)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, dim)).astype(np.float32))
+
+    kw = dict(extents=extents, heads=heads, dim_head=dim_head)
+    m_x = Local3dAttention(backend="xla", **kw)
+    m_f = Local3dAttention(backend="fused", **kw)
+    params = m_x.init(jax.random.PRNGKey(0), x, q)["params"]
+
+    out_x = m_x.apply({"params": params}, x, q)
+    out_f = m_f.apply({"params": params}, x, q)
+    np.testing.assert_allclose(
+        np.asarray(out_f), np.asarray(out_x), rtol=2e-4, atol=2e-4
+    )
+
+    def loss(mod, p):
+        return jnp.sum(mod.apply({"params": p}, x, q) ** 2)
+
+    g_x = jax.grad(lambda p: loss(m_x, p))(params)
+    g_f = jax.grad(lambda p: loss(m_f, p))(params)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_f = jax.tree_util.tree_leaves_with_path(g_f)
+    for (px, ax), (pf, af) in zip(flat_x, flat_f):
+        assert px == pf
+        np.testing.assert_allclose(
+            np.asarray(af), np.asarray(ax), rtol=1e-3, atol=1e-4,
+            err_msg=str(px),
+        )
+
+
+def test_local3d_module_param_tree_unchanged(rng):
+    """Raw-param declaration keeps nn.Dense's exact tree (checkpoint
+    compatibility) for every backend."""
+    from world_modelz_tpu.models.attention import Local3dAttention
+
+    x = jnp.zeros((1, 2, 4, 4, 20))
+    m = Local3dAttention(extents=(1, 1, 1), heads=2, dim_head=8)
+    params = m.init(jax.random.PRNGKey(0), x, x)["params"]
+    assert set(params) == {"to_k", "to_v", "to_q", "to_out"}
+    assert set(params["to_k"]) == {"kernel"}
+    assert set(params["to_v"]) == {"kernel", "bias"}
+    assert set(params["to_q"]) == {"kernel"}
+    assert set(params["to_out"]) == {"kernel", "bias"}
+    assert params["to_k"]["kernel"].shape == (20, 16)
+    assert params["to_out"]["kernel"].shape == (16, 20)
+
+
+def test_block_supported_gating():
+    from world_modelz_tpu.kernels.local3d_block import block_supported
+
+    # flagship m3 shape in bf16 must be fused-eligible
+    assert block_supported(6, 16, 16, (3, 1, 1), 1, 128, 384, 384, 2)
+    # minecraft/sber 32x32 grid blows the clip working set
+    assert not block_supported(16, 32, 32, (3, 1, 1), 1, 128, 384, 384, 2)

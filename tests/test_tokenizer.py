@@ -142,3 +142,49 @@ def test_upscale_skip_projection_commutes():
     np.testing.assert_allclose(
         np.asarray(y_ours), np.asarray(y_ref), rtol=1e-5, atol=1e-6
     )
+
+
+def test_fused_upsample_conv3x3_exact():
+    """Polyphase fused upsample+conv equals conv3x3(upsample_2x(x)) —
+    interior AND the corrected 1-px border ring — for several shapes,
+    including tiny and odd ones."""
+    from world_modelz_tpu.models.conv import fused_upsample_conv3x3
+
+    rng = np.random.default_rng(0)
+    for (h, w, cin, cout) in [(6, 6, 4, 8), (1, 5, 3, 2), (7, 1, 2, 3),
+                              (2, 2, 1, 1), (9, 5, 5, 7)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        k = jnp.asarray(
+            rng.normal(size=(3, 3, cin, cout)).astype(np.float32)
+        )
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+        ref = jax.lax.conv_general_dilated(
+            upsample_2x(x), k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + b
+        out = fused_upsample_conv3x3(x, k, b)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5,
+            err_msg=f"shape {(h, w, cin, cout)}",
+        )
+
+
+def test_upscale_residual_fused_matches_unfused():
+    """UpscaleResidual(fuse_upsample=True) equals the literal composition
+    with identical parameters (same tree: Conv_0/1/2, BatchNorm_0/1)."""
+    from world_modelz_tpu.models.conv import UpscaleResidual
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(2, 5, 6, 4)).astype(np.float32))
+    fused = UpscaleResidual(out_planes=8, upsample=True, fuse_upsample=True)
+    plain = UpscaleResidual(out_planes=8, upsample=True, fuse_upsample=False)
+    variables = fused.init(jax.random.PRNGKey(0), x, train=False)
+    assert set(variables["params"]) == {
+        "Conv_0", "Conv_1", "Conv_2", "BatchNorm_0", "BatchNorm_1",
+    }
+    y_f = fused.apply(variables, x, train=False)
+    y_p = plain.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(y_f), np.asarray(y_p), rtol=1e-4, atol=1e-5
+    )

@@ -322,6 +322,41 @@ def local3d_attention(
     return out
 
 
+class _DenseParams(nn.Module):
+    """Declares exactly nn.Dense's parameter tree ({kernel[, bias]}, same
+    shapes, same initializers) but returns the raw arrays instead of
+    applying them — so the fused whole-block Pallas kernel
+    (`kernels.local3d_block`) can consume the weights directly while
+    checkpoints stay interchangeable with the nn.Dense layout."""
+
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,))
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
+def _dense_apply(t: jnp.ndarray, kernel, bias=None) -> jnp.ndarray:
+    """nn.Dense's compute contract: promote input and params to a common
+    dtype, matmul, add bias."""
+    dt = jnp.promote_types(t.dtype, kernel.dtype)
+    y = t.astype(dt) @ kernel.astype(dt)
+    if bias is not None:
+        y = y + bias.astype(dt)
+    return y
+
+
 class Local3dAttention(nn.Module):
     """QKV projections around the windowed attention core
     (local_3d_attention.py:34-118). `use_checkpointing` rematerializes the
@@ -333,7 +368,9 @@ class Local3dAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     use_checkpointing: bool = True
-    # "auto" = fused Pallas kernel on TPU, XLA elsewhere; or force either
+    # "auto" = best Pallas path on TPU (whole-block fused kernel when the
+    # clip fits VMEM, else the attention-only kernel), XLA elsewhere;
+    # or force "fused" / "pallas" / "xla"
     backend: str = "auto"
     # sequence parallelism: shard the frame axis over `seq_mesh[seq_axis]`
     # via halo-exchange attention (parallel/sequence.py). Overrides backend.
@@ -349,10 +386,16 @@ class Local3dAttention(nn.Module):
         project_out = not (self.heads == 1 and self.dim_head == dim)
 
         # bias pattern matches the reference (to_q/to_k bias-free, to_v
-        # biased; local_3d_attention.py:46-48)
-        k = nn.Dense(inner, use_bias=False, name="to_k")(x)
-        v = nn.Dense(inner, use_bias=True, name="to_v")(x)
-        qp = nn.Dense(inner, use_bias=False, name="to_q")(q)
+        # biased; local_3d_attention.py:46-48); raw weights so the fused
+        # block kernel can consume them — same param tree as nn.Dense
+        wk, _ = _DenseParams(inner, use_bias=False, name="to_k")(dim)
+        wv, bv = _DenseParams(inner, use_bias=True, name="to_v")(dim)
+        wq, _ = _DenseParams(inner, use_bias=False, name="to_q")(
+            q.shape[-1]
+        )
+        wo, bo = (None, None)
+        if project_out:
+            wo, bo = _DenseParams(dim, use_bias=True, name="to_out")(inner)
 
         if self.seq_axis:
             if self.seq_mesh is None:
@@ -373,21 +416,61 @@ class Local3dAttention(nn.Module):
             )
             if self.use_checkpointing:
                 attend = jax.checkpoint(attend)
-            out = attend(qp, k, v)
+            out = attend(_dense_apply(q, wq), _dense_apply(x, wk),
+                         _dense_apply(x, wv, bv))
             if project_out:
-                out = nn.Dense(dim, name="to_out")(out)
+                out = _dense_apply(out, wo, bo)
                 out = nn.Dropout(self.dropout, deterministic=not train)(out)
             return out
 
+        s_, h_, w_ = x.shape[1:4]
+        on_tpu = jax.default_backend() == "tpu"
+        dt = jnp.promote_types(x.dtype, wk.dtype)
+
+        def fused_ok():
+            from world_modelz_tpu.kernels.local3d_block import (
+                block_supported,
+            )
+
+            return project_out and block_supported(
+                s_, h_, w_, self.extents, self.heads, self.dim_head,
+                dim, dim, jnp.dtype(dt).itemsize,
+            )
+
         backend = self.backend
         if backend == "auto":
-            backend = (
-                "pallas" if jax.default_backend() == "tpu" else "xla"
+            if on_tpu and fused_ok():
+                backend = "fused"
+            elif on_tpu:
+                backend = "pallas"
+            else:
+                backend = "xla"
+        if backend == "fused" and not fused_ok():
+            raise ValueError(
+                "fused local3d block kernel unsupported for grid "
+                f"{h_}x{w_} S={s_} extents {self.extents} dtype {dt} "
+                "(working set exceeds VMEM or no output projection); "
+                "use backend='pallas' or 'xla'"
             )
+        if backend == "fused":
+            from world_modelz_tpu.kernels.local3d_block import local3d_block
+
+            # whole block in one Pallas program per clip: QKV projections,
+            # windowed attention, and the output projection never touch HBM
+            out = local3d_block(
+                x.astype(dt), q.astype(dt), wk.astype(dt), wv.astype(dt),
+                bv.astype(dt), wq.astype(dt), wo.astype(dt), bo.astype(dt),
+                self.extents, self.heads, not on_tpu,
+            )
+            return nn.Dropout(self.dropout, deterministic=not train)(out)
+
+        k = _dense_apply(x, wk)
+        v = _dense_apply(x, wv, bv)
+        qp = _dense_apply(q, wq)
+
         if backend == "pallas":
             from world_modelz_tpu.kernels.local3d import kernel_supported
 
-            s_, h_, w_ = x.shape[1:4]
             if not kernel_supported(s_, h_, w_, self.extents, self.dim_head):
                 if self.backend == "pallas":
                     raise ValueError(
@@ -403,8 +486,7 @@ class Local3dAttention(nn.Module):
 
             # custom_vjp already rematerializes in bwd — no extra checkpoint
             out = local3d_attention_pallas(
-                qp, k, v, self.extents, self.heads,
-                jax.default_backend() != "tpu",
+                qp, k, v, self.extents, self.heads, not on_tpu,
             )
         else:
             attend = functools.partial(
@@ -415,7 +497,7 @@ class Local3dAttention(nn.Module):
             out = attend(qp, k, v)
 
         if project_out:
-            out = nn.Dense(dim, name="to_out")(out)
+            out = _dense_apply(out, wo, bo)
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out
 
