@@ -379,17 +379,17 @@ def _bwd_kernel_allframes(
             at_lo.T, g, preferred_element_type=jnp.float32
         ).reshape(ts, hw, dh)
         # each program owns the whole clip: accumulate straight onto the
-        # padded key frames (no cross-program races, no host-side fold)
-        dk_acc = jax.lax.dynamic_update_slice(
-            dk_acc,
-            jax.lax.dynamic_slice(dk_acc, (f, 0, 0), (ts, hw, dh)) + dk_f,
-            (f, 0, 0),
-        )
-        dv_acc = jax.lax.dynamic_update_slice(
-            dv_acc,
-            jax.lax.dynamic_slice(dv_acc, (f, 0, 0), (ts, hw, dh)) + dv_f,
-            (f, 0, 0),
-        )
+        # padded key frames (no cross-program races, no host-side fold).
+        # f is a Python int (static unroll) — express the slot update as a
+        # static zero-pad + add: Mosaic has no dynamic_slice lowering, and
+        # jnp's .at[] indexed add would trace to one
+        npad = dk_acc.shape[0] - ts
+
+        def slot_add(acc, d, f=f):
+            return acc + jnp.pad(d, ((f, npad - f), (0, 0), (0, 0)))
+
+        dk_acc = slot_add(dk_acc, dk_f)
+        dv_acc = slot_add(dv_acc, dv_f)
     dk_ref[0] = dk_acc.astype(dk_ref.dtype)
     dv_ref[0] = dv_acc.astype(dv_ref.dtype)
 
