@@ -1,0 +1,107 @@
+"""Serve a trained video-diffusion checkpoint over HTTP.
+
+Production serving entry point: rehydrates the denoiser + tokenizer from a
+checkpoint (embedded config, train_vqae.load_tokenizer contract), builds
+the batched `RolloutService` (request coalescing, size ladder, streaming
+sessions — serve.py) and exposes it through the stdlib HTTP front-end
+(serve_http.py). The reference's nearest equivalent is re-running
+`main2.py --eval` per clip (minecraft/main2.py:59-131); here concurrent
+clients share one compiled program per batch.
+
+    python -m world_modelz_tpu.cli.serve_http \
+        --checkpoint outputs/r2_m3/step_0075000 --port 8000
+
+    # client:
+    from world_modelz_tpu.serve_http import http_generate
+    video = http_generate("http://127.0.0.1:8000", seed_clip)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from world_modelz_tpu.cli.train_vqae import load_tokenizer
+from world_modelz_tpu.cli.video_diffusion import (
+    VideoDiffusionConfig,
+    make_model,
+)
+from world_modelz_tpu.train.checkpoint import restore_checkpoint
+from world_modelz_tpu.utils import dataclass_cli
+from world_modelz_tpu.utils.config import config_from_dict
+
+
+@dataclasses.dataclass
+class ServeHTTPConfig:
+    checkpoint: str = ""  # video-diffusion checkpoint (required)
+    platform: str = ""
+    use_ema: bool = False
+    host: str = "127.0.0.1"
+    port: int = 8000
+    num_frames: int = 8  # generated frames per request
+    num_iterations: int = 30  # unmask iterations per frame (main2.py:81)
+    topk: int = -1
+    batch_size: int = 8  # max coalesced batch (power-of-two ladder below)
+    max_wait_s: float = 0.05
+    manual_seed: int = 0
+
+
+def build_service(cfg: ServeHTTPConfig):
+    """Checkpoint -> ready RolloutService (shared by CLI and tests)."""
+    from world_modelz_tpu.serve import RolloutService
+
+    state, step, config = restore_checkpoint(cfg.checkpoint)
+    train_cfg = config_from_dict(VideoDiffusionConfig, config)
+    params = (
+        state["ema"] if cfg.use_ema and state.get("ema") else state["params"]
+    )
+    tok, tok_state, _ = load_tokenizer(train_cfg.decoder_model)
+
+    th, tw = tok.token_grid_shape((train_cfg.image_size, train_cfg.image_size))
+    token_shape = (train_cfg.n_past + 1, th, tw)
+    model = make_model(train_cfg, token_shape, tok.num_embeddings)
+
+    svc = RolloutService(
+        tok, tok_state, model, params,
+        num_frames=cfg.num_frames,
+        num_iterations=cfg.num_iterations,
+        sample_topk=cfg.topk,
+        batch_size=cfg.batch_size,
+        max_wait_s=cfg.max_wait_s,
+        seed=cfg.manual_seed,
+    )
+    return svc, step
+
+
+def run(cfg: ServeHTTPConfig):
+    from world_modelz_tpu.serve_http import RolloutHTTPServer
+
+    if cfg.platform:
+        jax.config.update("jax_platforms", cfg.platform)
+    if not cfg.checkpoint:
+        raise ValueError("--checkpoint (video-diffusion run) is required")
+
+    svc, step = build_service(cfg)
+    server = RolloutHTTPServer(svc, host=cfg.host, port=cfg.port)
+    print(
+        f"serving step-{step} checkpoint on http://{cfg.host}:{server.port} "
+        f"(batch<= {cfg.batch_size}, {cfg.num_frames} frames/request, "
+        f"backend {jax.default_backend()})"
+    )
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        svc.close()
+
+
+def main(argv=None):
+    run(dataclass_cli(ServeHTTPConfig, argv))
+
+
+if __name__ == "__main__":
+    main()
