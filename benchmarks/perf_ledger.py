@@ -357,9 +357,11 @@ def sec_attn_block(led: Ledger):
             lambda t: t.astype(jnp.bfloat16),
             m.init(jax.random.PRNGKey(1), x, x)["params"],
         )
+        # ~0.1 ms/op: 200-invocation differencing keeps relay jitter well
+        # under 10% (the (10, 60) chain showed 1.7x run-to-run swings)
         s_ = timed_chain(
             lambda t: m.apply({"params": params}, t, t) + t, x,
-            iters=ITERS if QUICK else (10, 60),
+            iters=ITERS if QUICK else (10, 210),
         )
         led.record(
             f"attn_block/m3/{backend}", s_, fl,
@@ -721,12 +723,80 @@ def sec_tokenize_b512(led: Ledger):
         TOK_BATCH = prev
 
 
+def sec_dense_attn(led: Ledger):
+    """Dense self-attention (sparse-diffusion backbone) at long contexts:
+    XLA einsum vs the stock TPU flash-attention kernel
+    (models/attention.py DenseAttention backend). fwd and train-step rows
+    at 1k and 4k tokens — the full 16x16x16 minecraft volume is 4096."""
+    import optax
+
+    from world_modelz_tpu.models.attention import DenseAttention
+
+    dim, heads, dh = 512, 8, 64
+    b = 4
+    on_tpu = jax.default_backend() == "tpu"
+    backends = ["xla"] + (["flash"] if on_tpu else [])
+    ns = [1024, 4096] if not QUICK else [256]
+    for n in ns:
+        x = jax.random.normal(
+            jax.random.PRNGKey(0), (b, n, dim), jnp.bfloat16
+        )
+        inner = heads * dh
+        fl = (
+            2 * b * n * dim * 3 * inner
+            + 2 * 2 * b * n * n * inner
+            + 2 * b * n * inner * dim
+        )
+        for backend in backends:
+            m = DenseAttention(heads=heads, dim_head=dh, backend=backend)
+            params = jax.tree_util.tree_map(
+                lambda t: t.astype(jnp.bfloat16),
+                m.init(jax.random.PRNGKey(1), x)["params"],
+            )
+            s = timed_chain(
+                lambda t: m.apply({"params": params}, t) + t, x,
+                iters=ITERS if QUICK else (10, 60),
+            )
+            led.record(
+                f"dense_attn/n{n}/{backend}", s, fl, b=b, n=n, dim=dim,
+                heads=heads, dim_head=dh,
+            )
+
+            # train step: grad of sum-of-squares through the block
+            opt = optax.adamw(1e-4)
+            opt_state = opt.init(params)
+
+            def train_step(carry):
+                params, opt_state = carry
+
+                def loss_fn(p):
+                    return jnp.mean(
+                        m.apply({"params": p}, x).astype(jnp.float32) ** 2
+                    )
+
+                _, grads = jax.value_and_grad(loss_fn)(params)
+                updates, new_opt = opt.update(grads, opt_state, params)
+                return (
+                    optax.apply_updates(params, updates), new_opt
+                )
+
+            s = timed_chain(
+                lambda c: train_step(c), (params, opt_state),
+                iters=ITERS if QUICK else (5, 25),
+            )
+            led.record(
+                f"dense_attn_train/n{n}/{backend}", s, 3 * fl, b=b, n=n,
+                dim=dim, heads=heads, dim_head=dh,
+            )
+
+
 SECTIONS = {
     "tokenize": sec_tokenize,
     "tokenize512": sec_tokenize_b512,
     "vq": sec_vq,
     "attn": sec_attn,
     "attn_block": sec_attn_block,
+    "dense_attn": sec_dense_attn,
     "train": sec_train,
     "train_b64": sec_train_b64,
     "train_b64_g8": sec_train_b64_g8,

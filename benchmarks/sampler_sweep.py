@@ -31,11 +31,12 @@ OUT_DEFAULT = os.path.join(
 def run(
     checkpoint: str,
     iterations=(10, 30, 60),
-    topks=(-1, 25),
+    topks=(-1, 100, 25),
     fvd_clips: int = 64,
     batch_size: int = 16,
     num_frames: int = 16,
     seed: int = 0,
+    use_ema: bool = True,  # round-2 trend artifacts evaluated EMA weights
     platform: str = "",
     out: str = OUT_DEFAULT,
     outputs_dir: str = "outputs/sampler_sweep",
@@ -50,6 +51,7 @@ def run(
             cfg = RolloutConfig(
                 checkpoint=checkpoint,
                 platform=platform,
+                use_ema=use_ema,
                 batch_size=batch_size,
                 num_frames=num_frames,
                 num_eval_iterations=it,
@@ -96,7 +98,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--iterations", default="10,30,60")
-    p.add_argument("--topks", default="-1,25")
+    p.add_argument("--topks", default="-1,100,25")
+    p.add_argument("--use_ema", default="true")
     p.add_argument("--fvd_clips", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_frames", type=int, default=16)
@@ -113,6 +116,7 @@ def main(argv=None):
         batch_size=a.batch_size,
         num_frames=a.num_frames,
         seed=a.seed,
+        use_ema=a.use_ema.lower() in ("1", "true", "yes"),
         platform=a.platform,
         out=a.out,
         outputs_dir=a.outputs_dir,

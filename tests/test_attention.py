@@ -117,6 +117,42 @@ def test_dense_transformer_shapes():
     assert y.shape == x.shape
 
 
+def test_dense_attention_flash_backend_gating():
+    """backend plumbing: 'flash' needs a TPU (clean error on CPU), 'auto'
+    resolves to the XLA einsum path off-TPU with an unchanged param tree,
+    and the backend field does not alter parameters (checkpoint compat)."""
+    import pytest
+
+    from world_modelz_tpu.models.attention import DenseAttention
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 1536, 32))  # n >= flash's auto cutoff
+
+    auto = DenseAttention(heads=4, dim_head=8, backend="auto")
+    xla = DenseAttention(heads=4, dim_head=8, backend="xla")
+    params = auto.init(key, x)
+    assert jax.tree_util.tree_structure(
+        params
+    ) == jax.tree_util.tree_structure(xla.init(key, x))
+    np.testing.assert_allclose(
+        np.asarray(auto.apply(params, x)),
+        np.asarray(xla.apply(params, x)),
+        rtol=0,
+        atol=0,
+    )
+
+    flash = DenseAttention(heads=4, dim_head=8, backend="flash")
+    with pytest.raises(ValueError, match="TPU"):
+        flash.apply(params, x)
+
+    # attention-weight dropout is incompatible with the streaming softmax
+    dropped = DenseAttention(heads=4, dim_head=8, dropout=0.1, backend="flash")
+    with pytest.raises(ValueError):
+        dropped.apply(
+            params, x, train=True, rngs={"dropout": jax.random.PRNGKey(1)}
+        )
+
+
 def test_video_diffusion_model_last_frame_logits():
     model = VqVideoDiffusionModel(
         data_shape=(6, 8, 8),

@@ -118,6 +118,10 @@ class SparseDiffusionConfig:
     depth: int = 8
     num_context: int = 512
     change_batch_interval: int = 4
+    # dense-attention backend: auto | flash | xla. "flash" = stock TPU
+    # flash-attention kernel (online softmax, no (N,N) score matrix in
+    # HBM); auto enables it on TPU for contexts >= 1024 tokens
+    attn_backend: str = "auto"
 
     # mixture-of-experts FFNs (models/attention.py MoEFeedForward): replaces
     # every transformer FFN with moe_experts top-1-routed experts whose
@@ -231,6 +235,7 @@ def train(cfg: SparseDiffusionConfig):
         dim_head=cfg.dim // cfg.heads,
         mlp_dim=cfg.mlp_dim,
         heads=cfg.heads,
+        attn_backend=cfg.attn_backend,
         moe_experts=cfg.moe_experts,
         moe_capacity_factor=cfg.moe_capacity_factor,
     )

@@ -121,12 +121,60 @@ class MoEFeedForward(nn.Module):
         return y
 
 
+def _flash_dense_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """Stock TPU flash-attention (pallas ops) over (B, H, N, D) operands.
+
+    Streams K/V through VMEM with an online softmax, so the (N, N) score
+    matrix never hits HBM — the memory-bound regime the dense sparse-
+    diffusion transformer enters at long token subsets (sparse_diffusion.py
+    contexts of 1-4k tokens). Pads N up to a block multiple; padded rows
+    are fenced off with segment ids and sliced away."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    b, h, n, d = q.shape
+    npad = -n % 128
+    np_ = n + npad
+    segment_ids = None
+    if npad:
+        pad = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, npad), (0, 0)))
+        q, k, v = pad(q), pad(k), pad(v)
+        seg = jnp.concatenate(
+            [jnp.zeros((b, n), jnp.int32), jnp.ones((b, npad), jnp.int32)],
+            axis=1,
+        )
+        segment_ids = SegmentIds(q=seg, kv=seg)
+    blk = max(bq for bq in (512, 256, 128) if np_ % bq == 0)
+    bs = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk,
+        block_q_dq=blk,
+    )
+    out = flash_attention(
+        q, k, v, segment_ids=segment_ids, causal=False, sm_scale=scale,
+        block_sizes=bs,
+    )
+    return out[:, :, :n] if npad else out
+
+
 class DenseAttention(nn.Module):
-    """Fused-QKV multi-head self-attention (transformer.py:34-64)."""
+    """Fused-QKV multi-head self-attention (transformer.py:34-64).
+
+    ``backend``: "xla" is the einsum reference; "flash" runs the stock TPU
+    flash-attention kernel (TPU only, incompatible with attention-weight
+    dropout); "auto" picks flash on TPU for long sequences (N >= 1024,
+    where the score matrix stops fitting cache) when dropout is off."""
 
     heads: int = 8
     dim_head: int = 64
     dropout: float = 0.0
+    backend: str = "auto"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
@@ -145,13 +193,37 @@ class DenseAttention(nn.Module):
 
         q, k, v = map(split_heads, (q, k, v))
         scale = self.dim_head**-0.5
-        scores = (
-            jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-            * scale
-        )
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
+
+        n_tok = q.shape[2]
+        on_tpu = jax.default_backend() == "tpu"
+        backend = self.backend
+        if backend == "auto":
+            backend = (
+                "flash"
+                if on_tpu and self.dropout == 0.0 and n_tok >= 1024
+                else "xla"
+            )
+        if backend == "flash":
+            if not on_tpu:
+                raise ValueError(
+                    "backend='flash' needs a TPU (use 'xla' or 'auto')"
+                )
+            if self.dropout > 0.0:
+                raise ValueError(
+                    "backend='flash' cannot apply attention-weight dropout"
+                )
+            out = _flash_dense_attention(q, k, v, scale)
+        else:
+            scores = (
+                jnp.einsum(
+                    "bhnd,bhmd->bhnm", q, k,
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+            )
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn.astype(v.dtype), v)
         b, h, n, d = out.shape
         out = out.transpose(0, 2, 1, 3).reshape(b, n, h * d)
         if project_out:
@@ -172,6 +244,7 @@ class DenseTransformer(nn.Module):
     dim_head: int
     mlp_dim: int
     dropout: float = 0.0
+    attn_backend: str = "auto"  # auto | flash | xla (DenseAttention)
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
     moe_impl: str = "dispatch"
@@ -184,6 +257,7 @@ class DenseTransformer(nn.Module):
                     heads=self.heads,
                     dim_head=self.dim_head,
                     dropout=self.dropout,
+                    backend=self.attn_backend,
                 )(nn.LayerNorm()(x), train=train)
                 + x
             )
@@ -368,9 +442,10 @@ class Local3dAttention(nn.Module):
     dim_head: int = 64
     dropout: float = 0.0
     use_checkpointing: bool = True
-    # "auto" = best Pallas path on TPU (whole-block fused kernel when the
-    # clip fits VMEM, else the attention-only kernel), XLA elsewhere;
-    # or force "fused" / "pallas" / "xla"
+    # "auto" = attention-only Pallas kernel on TPU (measured best for both
+    # fwd and train at the flagship shapes), XLA elsewhere; or force
+    # "fused" (whole-block kernel, forward ~parity / train ~12% slower —
+    # opt-in) / "pallas" / "xla"
     backend: str = "auto"
     # sequence parallelism: shard the frame axis over `seq_mesh[seq_axis]`
     # via halo-exchange attention (parallel/sequence.py). Overrides backend.
@@ -439,12 +514,13 @@ class Local3dAttention(nn.Module):
 
         backend = self.backend
         if backend == "auto":
-            if on_tpu and fused_ok():
-                backend = "fused"
-            elif on_tpu:
-                backend = "pallas"
-            else:
-                backend = "xla"
+            # measured on v5e at the m3 shape (200-invocation chains):
+            # whole-block fwd pallas 0.125 ms ~= fused 0.135 ms, and the
+            # fused train step loses ~12% (the custom_vjp rematerializes
+            # the projections too). The attention-only kernel composition
+            # is the best default; 'fused' stays an explicit opt-in for
+            # forward-only serving experiments.
+            backend = "pallas" if on_tpu else "xla"
         if backend == "fused" and not fused_ok():
             raise ValueError(
                 "fused local3d block kernel unsupported for grid "

@@ -261,9 +261,14 @@ class UpscaleResidual(nn.Module):
 
     out_planes: int
     upsample: bool = True
-    # polyphase-fused upsample+conv (exact; golden-tested). Off = the
-    # literal upsample-then-conv composition.
-    fuse_upsample: bool = True
+    # polyphase-fused upsample+conv (exact; golden-tested). MEASURED SLOWER
+    # on v5e than the literal composition it replaces (decode 7.4->9.2 ms
+    # at batch 256: the (h,w,2,2,c)->(2h,2w,c) depth-to-space interleave
+    # plus 1-px border-correction passes cost more HBM traffic than the 4x
+    # upsampled intermediate they avoid — probe: fused 0.93 ms vs literal
+    # 0.62 ms at 256x16x16x128). Kept as an opt-in negative result; default
+    # = the literal upsample-then-conv (XLA resize + conv, ~60% MFU).
+    fuse_upsample: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool) -> jnp.ndarray:

@@ -81,6 +81,7 @@ class VqSparseDiffusionModel(nn.Module):
     mlp_dim: int
     heads: int = 1
     dropout: float = 0.0
+    attn_backend: str = "auto"  # auto | flash | xla (DenseAttention)
     moe_experts: int = 0  # >0: expert-parallel MoE FFNs (new capability)
     moe_capacity_factor: float = 1.25
     moe_impl: str = "dispatch"
@@ -97,6 +98,7 @@ class VqSparseDiffusionModel(nn.Module):
             dim_head=self.dim_head,
             mlp_dim=self.mlp_dim,
             dropout=self.dropout,
+            attn_backend=self.attn_backend,
             moe_experts=self.moe_experts,
             moe_capacity_factor=self.moe_capacity_factor,
             moe_impl=self.moe_impl,
