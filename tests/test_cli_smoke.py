@@ -1,6 +1,7 @@
 """CLI smoke tests: each trainer runs a few steps end-to-end on CPU and
 produces its artifacts. Marked slow (several minutes total)."""
 
+import dataclasses
 import os
 
 import numpy as np
@@ -335,3 +336,41 @@ def test_rollout_cli(tokenizer_ckpt, tmp_path):
     for row in gt["per_horizon"]:
         assert np.isfinite(row["tokenizer_ceiling_psnr"])
         assert row["tokenizer_ceiling_psnr"] >= row["psnr"] - 3.0
+
+
+def test_video_diffusion_cli_grain_pipeline(tmp_path):
+    """--data_pipeline grain: deterministic Grain input stream, with the
+    iterator position checkpointed alongside the model and restored on
+    resume."""
+    from world_modelz_tpu.cli.train_vqae import TrainVqaeConfig
+    from world_modelz_tpu.cli.train_vqae import train as tok_train
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    tok_out = str(tmp_path / "tok")
+    tok_train(TrainVqaeConfig(
+        dataset="moving_mnist", image_size=32, in_channels=1,
+        batch_size=8, max_steps=30,
+        downscale_steps=2, embedding_dim=8, hidden_planes=16,
+        num_embeddings=32, checkpoint_interval=30, output_dir=tok_out,
+        name="tok",
+    ))
+    out = str(tmp_path / "vd")
+    cfg = VideoDiffusionConfig(
+        dataset="moving_mnist", data_pipeline="grain",
+        decoder_model=os.path.join(tok_out, "step_0000030"),
+        batch_size=8, n_past=2, image_size=32, max_steps=4, warmup=2,
+        dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16, dim_head=8,
+        heads=2, eval_interval=0, checkpoint_interval=4, log_interval=2,
+        output_dir=out, name="vdg",
+    )
+    train(cfg)
+    ckpt = os.path.join(out, "step_0000004")
+    assert os.path.exists(os.path.join(ckpt, "grain_state.json"))
+
+    # resume: the input pipeline picks up from the saved position
+    cfg2 = dataclasses.replace(cfg, checkpoint=ckpt, max_steps=8)
+    train(cfg2)
+    assert os.path.isdir(os.path.join(out, "step_0000008"))

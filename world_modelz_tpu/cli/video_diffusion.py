@@ -91,6 +91,11 @@ class VideoDiffusionConfig:
     nan_guard: bool = True  # reject steps with non-finite loss/grads
 
     dataset: str = "moving_mnist"  # moving_mnist|synthetic|minerl|video
+    # "native" = the in-repo samplers; "grain" = deterministic,
+    # checkpointable Grain DataLoader (moving_mnist only; see
+    # data/grain_pipeline.py)
+    data_pipeline: str = "native"
+    data_workers: int = 0  # grain worker processes (0 = in-process)
     data_dir: str = ""
     image_size: int = 64
     n_past: int = 5
@@ -151,6 +156,19 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
             digit_size=cfg.digit_size,
             deterministic=False,
         )
+        if cfg.data_pipeline == "grain":
+            # deterministic, checkpointable record stream (the torch
+            # DataLoader analog the reference uses, minus its lost-on-
+            # restart shuffle state); see data/grain_pipeline.py
+            from world_modelz_tpu.data.grain_pipeline import (
+                GrainClipPipeline,
+            )
+
+            pipe = GrainClipPipeline(
+                ds, cfg.batch_size, seed=seed,
+                worker_count=cfg.data_workers,
+            )
+            return lambda b: pipe.sample_batch(b), pipe
         return lambda b: ds.sample_batch(rng, b), None
     if cfg.dataset in ("synthetic", "minerl", "video"):
         if cfg.dataset == "minerl":
@@ -366,6 +384,12 @@ def train(cfg: VideoDiffusionConfig):
             ema_params = restored["ema"] if cfg.ema_decay > 0 else None
             opt_state = restored["opt_state"]
             sampler_state = restored["sampler"]
+        if sampler is not None and hasattr(sampler, "set_state"):
+            gs = os.path.join(cfg.checkpoint, "grain_state.json")
+            if os.path.exists(gs):
+                with open(gs, "rb") as f:
+                    sampler.set_state(f.read())
+                print("input pipeline resumed from", gs)
         print(f"resumed from {cfg.checkpoint} at step {start_step}")
 
     # shard: params/opt replicated or tensor-parallel; batch over 'data'
@@ -568,6 +592,14 @@ def train(cfg: VideoDiffusionConfig):
                     config_to_dict(cfg),
                 )
                 timers["checkpoint"] += time.perf_counter() - tt
+                if sampler is not None and hasattr(sampler, "get_state"):
+                    # input-pipeline position rides the checkpoint as a
+                    # sidecar (Grain state is JSON bytes); old checkpoints
+                    # without it restore fine
+                    with open(
+                        os.path.join(path, "grain_state.json"), "wb"
+                    ) as f:
+                        f.write(sampler.get_state())
                 print("checkpoint:", path)
 
             if cfg.eval_interval and step % cfg.eval_interval == 0:

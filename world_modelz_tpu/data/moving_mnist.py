@@ -138,6 +138,17 @@ class MovingMNIST:
     def __len__(self) -> int:
         return self.length
 
+    def __repr__(self) -> str:
+        # stable, config-derived (no object ids): Grain validates a
+        # restored pipeline's data source against repr()
+        return (
+            f"MovingMNIST(seq_len={self.seq_len}, "
+            f"num_digits={self.num_digits}, "
+            f"image_size={self.image_size}, "
+            f"digit_size={self.digit_size}, "
+            f"deterministic={self.deterministic}, length={self.length})"
+        )
+
     def _digit_track(
         self, rng: np.random.Generator
     ) -> tuple:

@@ -349,8 +349,14 @@ def _bwd_kernel_allframes(
     k_all = k_ref[0]
     v_all = v_ref[0]
     scale = dh**-0.5
-    dk_acc = jnp.zeros_like(k_all, dtype=jnp.float32)
-    dv_acc = jnp.zeros_like(v_all, dtype=jnp.float32)
+    # per-padded-frame f32 accumulator rows. A whole-tensor zero-pad + add
+    # per query frame (the previous formulation) kept `seq` live
+    # (S+2es, HW, dh) temporaries on the Mosaic stack — 17.3 MB at the b64
+    # m3 shape, over the 16 MB scoped-VMEM limit. Row-granular static
+    # updates touch only the ts rows a frame actually contributes to.
+    npf = seq + 2 * es
+    dk_rows = [jnp.zeros((hw, dh), jnp.float32) for _ in range(npf)]
+    dv_rows = [jnp.zeros((hw, dh), jnp.float32) for _ in range(npf)]
     for f in range(seq):
         q = q_ref[0, f]
         g = g_ref[0, f]
@@ -380,18 +386,13 @@ def _bwd_kernel_allframes(
         ).reshape(ts, hw, dh)
         # each program owns the whole clip: accumulate straight onto the
         # padded key frames (no cross-program races, no host-side fold).
-        # f is a Python int (static unroll) — express the slot update as a
-        # static zero-pad + add: Mosaic has no dynamic_slice lowering, and
-        # jnp's .at[] indexed add would trace to one
-        npad = dk_acc.shape[0] - ts
-
-        def slot_add(acc, d, f=f):
-            return acc + jnp.pad(d, ((f, npad - f), (0, 0), (0, 0)))
-
-        dk_acc = slot_add(dk_acc, dk_f)
-        dv_acc = slot_add(dv_acc, dv_f)
-    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
-    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+        # f and j are Python ints (static unroll) — Mosaic has no
+        # dynamic_slice lowering, and jnp's .at[] indexed add traces to one
+        for j in range(ts):
+            dk_rows[f + j] = dk_rows[f + j] + dk_f[j]
+            dv_rows[f + j] = dv_rows[f + j] + dv_f[j]
+    dk_ref[0] = jnp.stack(dk_rows).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.stack(dv_rows).astype(dv_ref.dtype)
 
 
 def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret):
