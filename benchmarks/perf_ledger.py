@@ -523,8 +523,11 @@ def sec_train_e2e(led: Ledger):
         return
     with open(path) as f:
         rep = json.load(f)
+    # FLOPs at the run's ACTUAL token grid (the as-trained rounds use the
+    # downscale-3 tokenizer -> 6x8x8, not M3_SHAPE's published 16x16)
+    shape = tuple(rep.get("token_shape", M3_SHAPE))
     fwd = F.local3d_transformer_flops(
-        rep["batch_size"], M3_SHAPE, num_classes=M3_K, **M3
+        rep["batch_size"], shape, num_classes=M3_K, **M3
     )
     s = 1.0 / rep["steps_per_sec"]
     led.record(
@@ -532,6 +535,7 @@ def sec_train_e2e(led: Ledger):
         s,
         F.train_step_flops(fwd, checkpointed=True),
         batch=rep["batch_size"],
+        grid=f"{shape[1]}x{shape[2]}",
         steps_per_sec=rep["steps_per_sec"],
         samples_per_sec=round(rep["batch_size"] * rep["steps_per_sec"], 1),
         window_steps=rep["window_steps"],

@@ -623,6 +623,7 @@ def train(cfg: VideoDiffusionConfig):
             total = max(win["secs"], 1e-9)
             report = {
                 "batch_size": cfg.batch_size,
+                "token_shape": list(token_shape),  # FLOPs need the grid
                 "window_steps": win["steps"],
                 "window_secs": round(win["secs"], 3),
                 "steps_per_sec": round(sps, 3),

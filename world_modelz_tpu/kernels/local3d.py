@@ -250,16 +250,29 @@ def fits_vmem_allframes_bwd(
     """Backward adds g + dq + two f32 dK/dV accumulators over padded
     frames — a substantially larger working set than the forward. q/g/dq
     and k/v are sized at the operand dtype; the dK/dV accumulators are
-    always f32 (4 bytes)."""
+    always f32 (4 bytes).
+
+    The per-frame temporaries are counted too: scores/p, dp, dscores
+    ((HW, Ts*HW) f32), their low-precision casts ds_lo/at_lo, and the
+    dk_f/dv_f window blocks. Omitting them admitted the b64 m3 shape whose
+    true Mosaic stack was 17.3 MB against the 16 MB scoped-VMEM limit
+    (compile-time OOM in the train_b64 ledger section)."""
     hw = height * width
     ts = 2 * extents[0] + 1
     pad = seq + 2 * extents[0]
     per_clip = seq * hw * dh * itemsize  # one of q / g / dq
     per_pad = pad * hw * dh * itemsize  # one of k / v
     per_pad_acc = pad * hw * dh * 4  # one of dk / dv (f32 accumulators)
-    score = hw * ts * hw * 4 * 2
+    score = hw * ts * hw * 4  # one (HW, Ts*HW) f32 intermediate
+    score_lo = hw * ts * hw * itemsize  # one low-precision cast of it
+    dkv_f = ts * hw * dh * 4  # one per-frame dK/dV window block
     return (
-        3 * per_clip + 2 * per_pad + 2 * per_pad_acc + score
+        3 * per_clip
+        + 2 * per_pad
+        + 2 * per_pad_acc
+        + 4 * score  # scores/p, dp, dscores (+1 headroom for attn)
+        + 2 * score_lo  # ds_lo, at_lo
+        + 2 * dkv_f
         <= _VMEM_BUDGET_BYTES
     )
 
