@@ -346,12 +346,12 @@ def sec_attn_block(led: Ledger):
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (b, s, h, w, dim), jnp.bfloat16)
     on_tpu = jax.default_backend() == "tpu"
-    # "fused" resolves via auto so f32 init falls back instead of raising
+    # 'fused' is requested literally; Local3dAttention routes its f32 init
+    # trace through the XLA path so only the bf16 apply runs the kernel
     backends = ["xla"] + (["pallas", "fused"] if on_tpu else [])
     for backend in backends:
         m = Local3dAttention(
-            extents=extents, heads=heads, dim_head=dh,
-            backend="auto" if backend == "fused" else backend,
+            extents=extents, heads=heads, dim_head=dh, backend=backend,
         )
         params = jax.tree_util.tree_map(
             lambda t: t.astype(jnp.bfloat16),
@@ -401,16 +401,11 @@ def sec_train(led: Ledger):
     fwd = F.local3d_transformer_flops(
         M3_B, M3_SHAPE, num_classes=M3_K, **M3
     )
-    # "fused" resolves through auto: bf16 apply picks the whole-block
-    # kernel, the f32 init traces the fallback instead of raising
     backends = ["xla"] + (
         ["pallas", "fused"] if jax.default_backend() == "tpu" else []
     )
     for backend in backends:
-        model, params, tokens = _m3(
-            "auto" if backend == "fused" else backend,
-            use_ckpt=(backend == "xla"),
-        )
+        model, params, tokens = _m3(backend, use_ckpt=(backend == "xla"))
         target = jax.random.randint(
             jax.random.PRNGKey(1), (M3_B, 16, 16), 0, M3_K
         )
@@ -671,9 +666,7 @@ def sec_denoise(led: Ledger):
         ["pallas", "fused"] if jax.default_backend() == "tpu" else []
     )
     for backend in backends:
-        model, params, tokens = _m3(
-            "auto" if backend == "fused" else backend, use_ckpt=False
-        )
+        model, params, tokens = _m3(backend, use_ckpt=False)
         params = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
             params,

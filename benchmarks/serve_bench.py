@@ -80,7 +80,9 @@ def main():
                 svc.open_session(clips[i % len(clips)])
                 for i in range(args.batch)
             ]
-            segs = args.requests // args.batch
+            # at least one segment: --requests < --batch would otherwise
+            # run zero generates and divide by ~0 wall-clock below
+            segs = max(1, args.requests // args.batch)
             t0 = time.perf_counter()
             for _ in range(segs):
                 futs = [s.generate_async() for s in sessions]

@@ -63,7 +63,7 @@ _HEAVY = {
     "test_loss_aware_sampler_biases_toward_lossy_buckets",
     "test_serve_batches_and_resolves",
     "test_serve_concurrent_submitters",
-    "test_serve_single_request_pads",
+    "test_serve_single_request_uses_small_program",
     "test_local3d_kernel_bf16_path",
     "test_fvd_discriminates",
     "test_encode_decode_roundtrip_identity_on_tokens",

@@ -170,6 +170,15 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
             )
             return lambda b: pipe.sample_batch(b), pipe
         return lambda b: ds.sample_batch(rng, b), None
+    if cfg.data_pipeline == "grain":
+        # the trajectory sources are streaming (no __len__/__getitem__), so
+        # Grain's random-access sampler cannot index them; fail loudly
+        # rather than silently training on the non-checkpointable sampler
+        raise ValueError(
+            f"--data_pipeline grain is not supported for dataset "
+            f"{cfg.dataset!r} (random-access sources only; use "
+            "moving_mnist or --data_pipeline native)"
+        )
     if cfg.dataset in ("synthetic", "minerl", "video"):
         if cfg.dataset == "minerl":
             from world_modelz_tpu.data.trajectory import MineRLTrajectorySource
@@ -327,6 +336,16 @@ def train(cfg: VideoDiffusionConfig):
     mask_token = num_embeddings
 
     clip_fn, sampler = build_clip_fn(cfg, cfg.manual_seed)
+    # eval draws from its own stream: the train stream is owned by the
+    # prefetch worker thread once training starts (a shared Grain iterator
+    # would race it, and eval pulls would perturb the checkpointed record
+    # position). The procedural moving_mnist source is cheap to duplicate;
+    # the buffered trajectory samplers are thread-safe and heavyweight, so
+    # those keep sharing the train stream.
+    if cfg.dataset == "moving_mnist":
+        eval_clip_fn, _ = build_clip_fn(cfg, cfg.manual_seed + 101)
+    else:
+        eval_clip_fn = clip_fn
 
     # probe token-grid shape from one encoded clip (main2.py:399-404)
     probe = jnp.asarray(clip_fn(1))
@@ -483,6 +502,14 @@ def train(cfg: VideoDiffusionConfig):
         lambda: clip_fn(cfg.batch_size),
         depth=2,
         sharding=clip_sharding(mesh),
+        # Grain position snapshots ride the queue with each batch so the
+        # checkpoint sidecar records the CONSUMED position, not the
+        # prefetched-ahead one (depth+1 batches would be skipped on resume)
+        state_fn=(
+            sampler.get_state
+            if sampler is not None and hasattr(sampler, "get_state")
+            else None
+        ),
     )
     logger = MetricLogger(
         cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
@@ -592,14 +619,17 @@ def train(cfg: VideoDiffusionConfig):
                     config_to_dict(cfg),
                 )
                 timers["checkpoint"] += time.perf_counter() - tt
-                if sampler is not None and hasattr(sampler, "get_state"):
+                grain_state = batches.consumed_state()
+                if grain_state is not None:
                     # input-pipeline position rides the checkpoint as a
-                    # sidecar (Grain state is JSON bytes); old checkpoints
-                    # without it restore fine
+                    # sidecar (Grain state is JSON bytes); the snapshot is
+                    # the last CONSUMED batch's position (taken in the
+                    # prefetch worker, so it never races the iterator);
+                    # old checkpoints without it restore fine
                     with open(
                         os.path.join(path, "grain_state.json"), "wb"
                     ) as f:
-                        f.write(sampler.get_state())
+                        f.write(grain_state)
                 print("checkpoint:", path)
 
             if cfg.eval_interval and step % cfg.eval_interval == 0:
@@ -611,7 +641,7 @@ def train(cfg: VideoDiffusionConfig):
                     key, sub = jax.random.split(key)
                     evaluate_and_save(
                         cfg=cfg, model=eval_model, params=p, tok=tok,
-                        tok_state=tok_state, clip_fn=clip_fn, key=sub,
+                        tok_state=tok_state, clip_fn=eval_clip_fn, key=sub,
                         tag=tag, step=step, logger=logger,
                     )
                 timers["eval"] += time.perf_counter() - tt

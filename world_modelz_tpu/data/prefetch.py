@@ -25,6 +25,13 @@ class PrefetchIterator:
         thread so the transfer overlaps device compute.
       sharding: optional `jax.sharding.Sharding` for the device placement
         (e.g. batch-sharded over a data mesh axis).
+      state_fn: optional callable returning the source iterator's
+        checkpoint state. It is called ONLY from the worker thread,
+        immediately after each `make_batch` (so it never races the
+        iterator), and the snapshot rides the queue with its batch.
+        `consumed_state()` then returns the state as of the last batch
+        the consumer actually took — not the prefetched-ahead position,
+        which would skip up to `depth`+1 batches on resume.
     """
 
     _SENTINEL = object()
@@ -35,10 +42,14 @@ class PrefetchIterator:
         depth: int = 2,
         device_put: bool = True,
         sharding: Optional[Any] = None,
+        state_fn: Optional[Callable[[], Any]] = None,
     ):
         self._make_batch = make_batch
         self._device_put = device_put
         self._sharding = sharding
+        self._state_fn = state_fn
+        # position before any batch is consumed (thread not started yet)
+        self._consumed_state = state_fn() if state_fn is not None else None
         self._queue: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
         self._error: Optional[BaseException] = None
@@ -49,6 +60,9 @@ class PrefetchIterator:
         while not self._stop.is_set():
             try:
                 batch = self._make_batch()
+                state = (
+                    self._state_fn() if self._state_fn is not None else None
+                )
                 if self._device_put:
                     if self._sharding is not None:
                         batch = jax.device_put(batch, self._sharding)
@@ -58,7 +72,7 @@ class PrefetchIterator:
                 self._error = e
                 self._put(self._SENTINEL)
                 return
-            self._put(batch)
+            self._put((batch, state))
 
     def _put(self, item):
         while not self._stop.is_set():
@@ -75,7 +89,15 @@ class PrefetchIterator:
         item = self._queue.get()
         if item is self._SENTINEL:
             raise self._error if self._error else StopIteration
-        return item
+        batch, state = item
+        if state is not None:
+            self._consumed_state = state
+        return batch
+
+    def consumed_state(self):
+        """Source-iterator state as of the last consumed batch (or the
+        initial position if none consumed yet); None without state_fn."""
+        return self._consumed_state
 
     def close(self):
         self._stop.set()

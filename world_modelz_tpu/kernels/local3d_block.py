@@ -247,14 +247,9 @@ def _block_fwd_impl(
 def _block_reference(x_kv, q_in, wk, wv, bv, wq, wo, bo, extents, heads):
     """Plain-XLA composition of the same block — golden path and the
     rematerialized backward. Matches nn.Dense dtype promotion."""
-    from world_modelz_tpu.models.attention import local3d_attention
-
-    def mm(a, wgt, bias=None):
-        dt = jnp.promote_types(a.dtype, wgt.dtype)
-        y = a.astype(dt) @ wgt.astype(dt)
-        if bias is not None:
-            y = y + bias.astype(dt)
-        return y
+    from world_modelz_tpu.models.attention import (
+        _dense_apply as mm, local3d_attention,
+    )
 
     k = mm(x_kv, wk)
     v = mm(x_kv, wv, bv)
@@ -290,13 +285,7 @@ def _block_pallas_composition(
     rematerialize the fused block's backward on TPU so the gradient rides
     the fast attention kernel instead of the unfold-style XLA lowering."""
     from world_modelz_tpu.kernels.local3d import local3d_attention_pallas
-
-    def mm(a, wgt, bias=None):
-        dt = jnp.promote_types(a.dtype, wgt.dtype)
-        y = a.astype(dt) @ wgt.astype(dt)
-        if bias is not None:
-            y = y + bias.astype(dt)
-        return y
+    from world_modelz_tpu.models.attention import _dense_apply as mm
 
     k = mm(x_kv, wk)
     v = mm(x_kv, wv, bv)

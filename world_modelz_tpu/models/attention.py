@@ -521,6 +521,12 @@ class Local3dAttention(nn.Module):
             # is the best default; 'fused' stays an explicit opt-in for
             # forward-only serving experiments.
             backend = "pallas" if on_tpu else "xla"
+        if backend == "fused" and self.is_initializing():
+            # init traces in f32 (params are created f32), where the fused
+            # kernel's VMEM fit check can reject shapes the bf16 apply
+            # accepts. The param tree is backend-independent, so trace the
+            # XLA path for shape inference and keep 'fused' for apply.
+            backend = "xla"
         if backend == "fused" and not fused_ok():
             raise ValueError(
                 "fused local3d block kernel unsupported for grid "

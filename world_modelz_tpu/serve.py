@@ -53,6 +53,9 @@ def rolled_context(tokens: jnp.ndarray, gen: jnp.ndarray) -> jnp.ndarray:
     (B,T,th,tw)) so streaming sessions can continue without re-encoding.
     """
     s = tokens.shape[1]
+    if s == 1:
+        # context is just the generation slot — nothing to shift
+        return tokens
     full = jnp.concatenate([tokens[:, :-1], gen], axis=1)
     return jnp.concatenate([full[:, -(s - 1):], tokens[:, -1:]], axis=1)
 

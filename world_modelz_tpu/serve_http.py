@@ -148,12 +148,41 @@ class _Handler(BaseHTTPRequestHandler):
     def _error(self, code: int, msg: str) -> None:
         self._json(code, {"error": msg})
 
+    def _drain_body(self) -> None:
+        """Consume an unread request body before responding on an error
+        path. HTTP/1.1 keep-alive reuses the connection: leftover body
+        bytes would be parsed as the NEXT request line, poisoning every
+        later request on the socket. Oversized or chunked bodies are not
+        worth draining — mark the connection for close instead."""
+        if self.headers.get("Transfer-Encoding"):
+            self.close_connection = True
+            return
+        n = int(self.headers.get("Content-Length", 0))
+        if n <= 0:
+            return
+        if n > MAX_BODY_BYTES:
+            self.close_connection = True
+            return
+        while n > 0:
+            chunk = self.rfile.read(min(n, 1 << 20))
+            if not chunk:
+                self.close_connection = True
+                return
+            n -= len(chunk)
+
     def _read_array(self) -> Optional[np.ndarray]:
+        if self.headers.get("Transfer-Encoding"):
+            self.close_connection = True
+            self._error(400, "chunked bodies unsupported; send "
+                             "Content-Length")
+            return None
         n = int(self.headers.get("Content-Length", 0))
         if n <= 0:
             self._error(400, "missing request body")
             return None
         if n > MAX_BODY_BYTES:
+            # not draining 64+ MB of junk; the response says close
+            self.close_connection = True
             self._error(413, f"body exceeds {MAX_BODY_BYTES} bytes")
             return None
         body = self.rfile.read(n)
@@ -172,6 +201,7 @@ class _Handler(BaseHTTPRequestHandler):
     # --------------------------------------------------------------- routes
 
     def do_GET(self):
+        self._drain_body()
         if self.path == "/healthz":
             return self._json(200, {"ok": True})
         if self.path == "/stats":
@@ -204,6 +234,10 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._error(503, f"session open failed: {e}")
             return self._json(200, {"session_id": sid})
 
+        # the remaining POST routes carry no body; drain anything a
+        # client sent anyway so keep-alive stays usable after the reply
+        self._drain_body()
+
         m = _SESSION_RE.match(self.path)
         if m and m.group(2):
             sess = self.fe._get_session(int(m.group(1)))
@@ -220,6 +254,7 @@ class _Handler(BaseHTTPRequestHandler):
         return self._error(404, f"unknown path {self.path}")
 
     def do_DELETE(self):
+        self._drain_body()
         m = _SESSION_RE.match(self.path)
         if m and not m.group(2):
             sid = int(m.group(1))
