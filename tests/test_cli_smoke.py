@@ -61,6 +61,44 @@ def test_video_diffusion_cli(tokenizer_ckpt, tmp_path):
     assert any(f.endswith("_base.gif") for f in files)
 
 
+def test_video_diffusion_cli_fused_dispatch(tokenizer_ckpt, tmp_path):
+    """--steps_per_dispatch > 1: k optimizer steps fused into one compiled
+    program. Dispatch boundaries must still land exactly on the log/
+    checkpoint/eval step multiples (max_steps=7 with k=3 forces uneven
+    dispatch lengths), and resume from a mid-run checkpoint works."""
+    import json
+
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = VideoDiffusionConfig(
+        dataset="synthetic", decoder_model=tokenizer_ckpt,
+        batch_size=8, n_past=2, image_size=32, max_steps=7, warmup=2,
+        steps_per_dispatch=3,
+        dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16, dim_head=8,
+        heads=2, eval_interval=0, checkpoint_interval=4, log_interval=2,
+        histogram_interval=0, buffer_size=150, output_dir=out, name="vdk",
+    )
+    train(cfg)
+    assert os.path.isdir(os.path.join(out, "step_0000004"))
+    steps = [
+        json.loads(ln)["step"]
+        for ln in open(os.path.join(out, "vdk_metrics.jsonl"))
+        if "loss" in json.loads(ln)
+    ]
+    # log points at exact multiples of log_interval (plus the warmup point)
+    assert steps == [1, 2, 4, 6]
+
+    cfg2 = dataclasses.replace(
+        cfg, checkpoint=os.path.join(out, "step_0000004"), max_steps=10
+    )
+    train(cfg2)
+    assert os.path.isdir(os.path.join(out, "step_0000008"))
+
+
 def test_video_diffusion_cli_sequence_parallel(tokenizer_ckpt, tmp_path):
     """Training with --n_seq 2: frame axis sharded over the mesh's 'seq'
     axis through the halo-exchange attention (parallel/sequence.py)."""

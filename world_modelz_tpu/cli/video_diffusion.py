@@ -106,6 +106,13 @@ class VideoDiffusionConfig:
     max_steps: int = 200_000
     warmup: int = 500
     accumulation_steps: int = 1
+    # fuse k optimizer steps into ONE compiled program (lax.scan over k
+    # stacked batches): host/RPC dispatch overhead amortizes by k — the
+    # main lever for the compiled-vs-wall steps/sec gap on relay-attached
+    # TPUs (train_e2e ledger row). Dispatches never cross a log/eval/
+    # checkpoint/histogram boundary, so any interval values remain exact;
+    # uneven boundaries just compile one extra (shorter) program shape.
+    steps_per_dispatch: int = 1
     checkpoint_interval: int = 25_000
     eval_interval: int = 2000
     eval_timesteps: int = 4
@@ -430,8 +437,11 @@ def train(cfg: VideoDiffusionConfig):
             sampler.close()
         return params
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def train_step(params, ema_params, opt_state, sampler_state, frames, key):
+    def step_body(carry, inp):
+        """One optimizer step as a scan body so k of them can ride a
+        single compiled program (steps_per_dispatch)."""
+        params, ema_params, opt_state, sampler_state = carry
+        frames, key = inp
         b, s, hh, ww, c = frames.shape
         k_r, k_corrupt, k_drop = jax.random.split(key, 3)
 
@@ -496,11 +506,38 @@ def train(cfg: VideoDiffusionConfig):
             params, ema_params, opt_state, sampler_state = reject_nonfinite(
                 ok, old, new
             )
-        return params, ema_params, opt_state, sampler_state, loss, gn, ok
+        return (params, ema_params, opt_state, sampler_state), (loss, gn, ok)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_step(params, ema_params, opt_state, sampler_state, frames, key):
+        carry, (loss, gn, ok) = step_body(
+            (params, ema_params, opt_state, sampler_state), (frames, key)
+        )
+        return (*carry, loss, gn, ok)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_kstep(
+        params, ema_params, opt_state, sampler_state, frame_list, keys
+    ):
+        """n fused optimizer steps: scan `step_body` over n batches inside
+        one program. `frame_list` is a tuple of n (B, S, H, W, C) device
+        arrays (stacked here, on device, so the per-batch host->device
+        transfers still overlap compute); `keys` is (n, key). Returns the
+        LAST substep's loss/grad-norm (that is the step the host logs) and
+        the AND of the guard flags (any rejected substep surfaces)."""
+        frames_k = jnp.stack(frame_list)
+        carry, (losses, gns, oks) = jax.lax.scan(
+            step_body,
+            (params, ema_params, opt_state, sampler_state),
+            (frames_k, keys),
+        )
+        return (*carry, losses[-1], gns[-1], oks.all())
 
     batches = PrefetchIterator(
         lambda: clip_fn(cfg.batch_size),
-        depth=2,
+        # fused dispatches (steps_per_dispatch) drain k batches at once;
+        # keep the worker at least one full dispatch ahead
+        depth=max(2, cfg.steps_per_dispatch + 1),
         sharding=clip_sharding(mesh),
         # Grain position snapshots ride the queue with each batch so the
         # checkpoint sidecar records the CONSUMED position, not the
@@ -548,18 +585,45 @@ def train(cfg: VideoDiffusionConfig):
     timers = {"data": 0.0, "dispatch": 0.0, "log_sync": 0.0,
               "checkpoint": 0.0, "eval": 0.0}
     win = {"step": None, "time": None, "steps": 0, "secs": 0.0}
+    kdisp = max(1, cfg.steps_per_dispatch)
+
+    def dispatch_len(done: int) -> int:
+        """Steps to fuse into the next program: up to `kdisp`, but never
+        crossing the next log/histogram/checkpoint/eval/max_steps boundary
+        (host-side work happens at exact step multiples, as with k=1)."""
+        stop = cfg.max_steps
+        first_log = start_step + 1  # compile/warmup log point
+        if done < first_log:
+            stop = min(stop, first_log)
+        for iv in (cfg.log_interval, cfg.histogram_interval,
+                   cfg.checkpoint_interval, cfg.eval_interval):
+            if iv:
+                stop = min(stop, (done // iv + 1) * iv)
+        return max(1, min(kdisp, stop - done))
+
     try:
-        for step in range(start_step + 1, cfg.max_steps + 1):
+        step = start_step
+        while step < cfg.max_steps:
+            n = dispatch_len(step)
             tt = time.perf_counter()
-            frames = next(batches)
+            frame_list = [next(batches) for _ in range(n)]
             timers["data"] += time.perf_counter() - tt
-            key, sub = jax.random.split(key)
+            keys = jax.random.split(key, n + 1)
+            key = keys[0]
             tt = time.perf_counter()
-            params, ema_params, opt_state, sampler_state, loss, gn, ok = (
-                train_step(
-                    params, ema_params, opt_state, sampler_state, frames, sub
+            if n == 1:
+                (params, ema_params, opt_state, sampler_state, loss, gn,
+                 ok) = train_step(
+                    params, ema_params, opt_state, sampler_state,
+                    frame_list[0], keys[1],
                 )
-            )
+            else:
+                (params, ema_params, opt_state, sampler_state, loss, gn,
+                 ok) = train_kstep(
+                    params, ema_params, opt_state, sampler_state,
+                    tuple(frame_list), keys[1:],
+                )
+            step += n
             timers["dispatch"] += time.perf_counter() - tt
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 # the guard acts on-device every step; the host only samples
