@@ -63,6 +63,7 @@ for i in $(seq 1 60); do
     --batch_size 16 --bf16 true --ema_decay 0.999 \
     --lr 1e-4 --warmup 500 --max_steps "$TARGET" \
     --checkpoint_interval 2500 --eval_interval 5000 \
-    --output_dir "$OUT" --name sp >>"$LOG" 2>&1 || true
+    --output_dir "$OUT" --name sp \
+    ${CKPT:+--checkpoint "$CKPT"} >>"$LOG" 2>&1 || true
 done
 echo "[chain-sparse] loop finished at $(latest "$OUT")" | tee -a "$LOG"
