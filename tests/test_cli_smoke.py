@@ -144,6 +144,38 @@ def test_sparse_diffusion_cli(tokenizer_ckpt, tmp_path):
     )
 
 
+def test_sparse_diffusion_cli_fused_dispatch(tokenizer_ckpt, tmp_path):
+    """--steps_per_dispatch: fused k-step programs must respect the
+    change_batch_interval boundary (batch refresh at steps == 1 mod cbi)
+    and the checkpoint/log multiples; uneven max_steps exercises the
+    shorter tail program."""
+    import json
+
+    from world_modelz_tpu.cli.sparse_diffusion import (
+        SparseDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = SparseDiffusionConfig(
+        decoder_model=tokenizer_ckpt, batch_size=2, eval_batch_size=1,
+        max_steps=7, warmup=2, S=4, H=8, W=8, image_size=32,
+        num_context=16, dim=16, mlp_dim=16, heads=2, depth=1,
+        steps_per_dispatch=4, change_batch_interval=3,
+        eval_interval=0, checkpoint_interval=6, histogram_interval=0,
+        buffer_size=120, max_segment_length=60, log_interval=2,
+        output_dir=out, name="sdk",
+    )
+    train(cfg)
+    assert os.path.isdir(os.path.join(out, "step_0000006"))
+    steps = [
+        json.loads(ln)["step"]
+        for ln in open(os.path.join(out, "sdk_metrics.jsonl"))
+        if "loss" in json.loads(ln)
+    ]
+    assert steps == [1, 2, 4, 6]
+
+
 def test_sparse_diffusion_cli_pipelined(tokenizer_ckpt, tmp_path):
     """--n_pipe 2: the transformer depth streams over a 2-stage pipeline
     (('pipe','data','model') mesh) inside the jitted train step."""

@@ -118,6 +118,12 @@ class SparseDiffusionConfig:
     depth: int = 8
     num_context: int = 512
     change_batch_interval: int = 4
+    # fuse k optimizer steps into one compiled program (lax.scan over the
+    # current token batch): amortizes host/RPC dispatch overhead by k.
+    # Dispatches never cross a log/histogram/checkpoint/eval/batch-change
+    # boundary, so all interval semantics stay exact; k =
+    # change_batch_interval makes each batch window exactly one dispatch.
+    steps_per_dispatch: int = 1
     # dense-attention backend: auto | flash | xla. "flash" = stock TPU
     # flash-attention kernel (online softmax, no (N,N) score matrix in
     # HBM); auto enables it on TPU for contexts >= 1024 tokens
@@ -300,8 +306,11 @@ def train(cfg: SparseDiffusionConfig):
             z = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
             return z.reshape(b, s, z.shape[1], z.shape[2])
 
-    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
-    def train_step(params, ema_params, opt_state, sampler_state, batch_z, key):
+    def step_body(batch_z, carry, key):
+        """One optimizer step as a scan body (steps_per_dispatch fuses k
+        of them over the same token batch — matching the reference's
+        reuse of a batch for change_batch_interval steps)."""
+        params, ema_params, opt_state, sampler_state = carry
         b = batch_z.shape[0]
         k_r, k_idx, k_corrupt = jax.random.split(key, 3)
 
@@ -398,7 +407,27 @@ def train(cfg: SparseDiffusionConfig):
             params, ema_params, opt_state, sampler_state = reject_nonfinite(
                 ok, old, new
             )
-        return params, ema_params, opt_state, sampler_state, loss, gn, ok
+        return (params, ema_params, opt_state, sampler_state), (loss, gn, ok)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_step(params, ema_params, opt_state, sampler_state, batch_z, key):
+        carry, (loss, gn, ok) = step_body(
+            batch_z, (params, ema_params, opt_state, sampler_state), key
+        )
+        return (*carry, loss, gn, ok)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+    def train_kstep(params, ema_params, opt_state, sampler_state, batch_z,
+                    keys):
+        """n fused optimizer steps over the SAME token batch, one compiled
+        program. Returns the last substep's loss/grad-norm (the step the
+        host logs) and the AND of the guard flags."""
+        carry, (losses, gns, oks) = jax.lax.scan(
+            lambda c, k: step_body(batch_z, c, k),
+            (params, ema_params, opt_state, sampler_state),
+            keys,
+        )
+        return (*carry, losses[-1], gns[-1], oks.all())
 
     def run_eval(params_eval, tag, step):
         logits_fn = lambda toks, idx: model.apply(
@@ -462,18 +491,40 @@ def train(cfg: SparseDiffusionConfig):
     rejected = 0
     batch_z = None
     t0 = time.time()
+    kdisp = max(1, cfg.steps_per_dispatch)
+
+    def dispatch_len(done: int) -> int:
+        """Steps to fuse into the next program: up to `kdisp`, but never
+        crossing the next log/histogram/checkpoint/eval/batch-change/
+        max_steps boundary (host work happens at exact step multiples,
+        and a batch refresh lands at steps == 1 mod change_batch_interval
+        exactly as with k=1)."""
+        stop = cfg.max_steps
+        first_log = start_step + 1  # compile/warmup log point
+        if done < first_log:
+            stop = min(stop, first_log)
+        intervals = [cfg.log_interval, cfg.histogram_interval,
+                     cfg.checkpoint_interval, cfg.eval_interval]
+        if not cfg.single_batch:
+            intervals.append(cfg.change_batch_interval)
+        for iv in intervals:
+            if iv:
+                stop = min(stop, (done // iv + 1) * iv)
+        return max(1, min(kdisp, stop - done))
+
     try:
-        for step in range(start_step + 1, cfg.max_steps + 1):
+        step = start_step
+        while step < cfg.max_steps:
             if batch_z is None or (
                 not cfg.single_batch
-                and step % cfg.change_batch_interval == 1
+                and (step + 1) % cfg.change_batch_interval == 1
             ):
                 frames = (
                     sampler.sample_batch(cfg.batch_size).astype(np.float32)
                     / 255.0
                 )
                 batch_z = encode_batch(jnp.asarray(frames))
-                if cfg.single_batch and step == 1:
+                if cfg.single_batch and step == 0:
                     gt = decode_volume(tok, tok_state, batch_z, ext_tok=ext_tok)
                     save_image(
                         make_grid(
@@ -482,12 +533,22 @@ def train(cfg: SparseDiffusionConfig):
                         f"{cfg.output_dir}/gt.png",
                     )
 
-            key, sub = jax.random.split(key)
-            params, ema_params, opt_state, sampler_state, loss, gn, ok = (
-                train_step(
-                    params, ema_params, opt_state, sampler_state, batch_z, sub
+            n = dispatch_len(step)
+            keys = jax.random.split(key, n + 1)
+            key = keys[0]
+            if n == 1:
+                (params, ema_params, opt_state, sampler_state, loss, gn,
+                 ok) = train_step(
+                    params, ema_params, opt_state, sampler_state, batch_z,
+                    keys[1],
                 )
-            )
+            else:
+                (params, ema_params, opt_state, sampler_state, loss, gn,
+                 ok) = train_kstep(
+                    params, ema_params, opt_state, sampler_state, batch_z,
+                    keys[1:],
+                )
+            step += n
 
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 accepted = bool(ok) or not cfg.nan_guard
