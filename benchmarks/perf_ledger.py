@@ -538,6 +538,48 @@ def sec_train_e2e(led: Ledger):
     )
 
 
+def sec_train_e2e_sparse(led: Ledger):
+    """Ingest the sparse trainer's timing report (cli/sparse_diffusion
+    --timing_report) as an end-to-end row for the second trained model
+    family (dense transformer over num_context of the S*H*W token volume,
+    reference minecraft/sparse_diffusion.py:398-542)."""
+    path = os.environ.get(
+        "WMZ_SPARSE_TIMING_REPORT",
+        os.path.join(
+            os.path.dirname(OUT_DEFAULT), "train_e2e_sparse_timing.json"
+        ),
+    )
+    if not os.path.exists(path):
+        print(f"train_e2e_sparse: no timing report at {path} — run the "
+              "sparse trainer with --timing_report first; skipping")
+        return
+    with open(path) as f:
+        rep = json.load(f)
+    c = rep["config"]
+    fwd = F.dense_transformer_flops(
+        rep["batch_size"],
+        rep["num_context"],
+        dim=c["dim"],
+        depth=c["depth"],
+        heads=c["heads"],
+        dim_head=c["dim"] // c["heads"],
+        mlp_dim=c["mlp_dim"],
+        num_classes=rep.get("num_classes", 0),
+    )
+    s = 1.0 / rep["steps_per_sec"]
+    led.record(
+        "train_e2e/sparse/trainer",
+        s,
+        F.train_step_flops(fwd),  # no remat in the dense path -> 3x fwd
+        batch=rep["batch_size"],
+        n_ctx=rep["num_context"],
+        steps_per_sec=rep["steps_per_sec"],
+        samples_per_sec=round(rep["batch_size"] * rep["steps_per_sec"], 1),
+        window_steps=rep["window_steps"],
+        breakdown_pct=rep["breakdown_pct"],
+    )
+
+
 def sec_train_b64_g8(led: Ledger):
     """Compiled b64 train step at the AS-TRAINED round-2/3 configuration
     (downscale-3 tokenizer -> 6x8x8 token grid) so the end-to-end trainer
@@ -798,6 +840,7 @@ SECTIONS = {
     "train_b64": sec_train_b64,
     "train_b64_g8": sec_train_b64_g8,
     "train_e2e": sec_train_e2e,
+    "train_e2e_sparse": sec_train_e2e_sparse,
     "serve": sec_serve,
     "denoise": sec_denoise,
 }

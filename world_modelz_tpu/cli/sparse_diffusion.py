@@ -17,6 +17,7 @@ EMA — is one jitted global-view program over the ('data','model') mesh.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 
@@ -107,6 +108,11 @@ class SparseDiffusionConfig:
     uniform_noise: bool = False
     log_interval: int = 10
     histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
+    # write an end-to-end timing breakdown JSON on exit (ledger section
+    # train_e2e_sparse reads it): steps/sec over the post-warmup window
+    # plus host-side time shares (data+encode, dispatch, log readbacks,
+    # checkpoints, eval)
+    timing_report: str = ""
 
     buffer_size: int = 75_000
     max_segment_length: int = 1000
@@ -491,6 +497,11 @@ def train(cfg: SparseDiffusionConfig):
     rejected = 0
     batch_z = None
     t0 = time.time()
+    # end-to-end timing (cfg.timing_report): host-side time sinks plus a
+    # steps/sec window anchored on log-point readbacks (value fences)
+    timers = {"data": 0.0, "dispatch": 0.0, "log_sync": 0.0,
+              "checkpoint": 0.0, "eval": 0.0}
+    win = {"step": None, "time": None, "steps": 0, "secs": 0.0}
     kdisp = max(1, cfg.steps_per_dispatch)
 
     def dispatch_len(done: int) -> int:
@@ -519,11 +530,13 @@ def train(cfg: SparseDiffusionConfig):
                 not cfg.single_batch
                 and (step + 1) % cfg.change_batch_interval == 1
             ):
+                tt = time.perf_counter()
                 frames = (
                     sampler.sample_batch(cfg.batch_size).astype(np.float32)
                     / 255.0
                 )
                 batch_z = encode_batch(jnp.asarray(frames))
+                timers["data"] += time.perf_counter() - tt
                 if cfg.single_batch and step == 0:
                     gt = decode_volume(tok, tok_state, batch_z, ext_tok=ext_tok)
                     save_image(
@@ -536,6 +549,7 @@ def train(cfg: SparseDiffusionConfig):
             n = dispatch_len(step)
             keys = jax.random.split(key, n + 1)
             key = keys[0]
+            tt = time.perf_counter()
             if n == 1:
                 (params, ema_params, opt_state, sampler_state, loss, gn,
                  ok) = train_step(
@@ -549,6 +563,7 @@ def train(cfg: SparseDiffusionConfig):
                     keys[1:],
                 )
             step += n
+            timers["dispatch"] += time.perf_counter() - tt
 
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 accepted = bool(ok) or not cfg.nan_guard
@@ -560,8 +575,21 @@ def train(cfg: SparseDiffusionConfig):
                     params, ema_params, opt_state, sampler_state = restored
                 dt = time.time() - t0
                 t0 = time.time()
+                tt = time.perf_counter()
+                loss_host = float(loss)  # value readback: fences the device
+                now = time.perf_counter()
+                timers["log_sync"] += now - tt
+                # window: from the 2nd log point (warmup/compile excluded)
+                # to the latest one, both at fence time
+                if win["step"] is None and step > start_step + 1:
+                    win["step"], win["time"] = step, now
+                    win["timers0"] = dict(timers)
+                elif win["step"] is not None:
+                    win["steps"] = step - win["step"]
+                    win["secs"] = now - win["time"]
+                    win["timersN"] = dict(timers)
                 m = {
-                    "loss": float(loss),
+                    "loss": loss_host,
                     "grad_norm": float(gn),
                     "lr": float(schedule(step)),
                     "steps_per_sec": cfg.log_interval / max(dt, 1e-9),
@@ -584,6 +612,7 @@ def train(cfg: SparseDiffusionConfig):
                 )
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+                tt = time.perf_counter()
                 path = save_checkpoint(
                     cfg.output_dir,
                     step,
@@ -595,13 +624,51 @@ def train(cfg: SparseDiffusionConfig):
                     },
                     config_to_dict(cfg),
                 )
+                timers["checkpoint"] += time.perf_counter() - tt
                 print("checkpoint:", path)
 
             if cfg.eval_interval and step % cfg.eval_interval == 0:
+                tt = time.perf_counter()
                 run_eval(params, "base", step)
                 if ema_params is not None:
                     run_eval(ema_params, "ema", step)
+                timers["eval"] += time.perf_counter() - tt
     finally:
+        if cfg.timing_report and win["steps"] > 0:
+            import json as _json
+
+            sps = win["steps"] / max(win["secs"], 1e-9)
+            total = max(win["secs"], 1e-9)
+            report = {
+                "batch_size": cfg.batch_size,
+                "num_context": cfg.num_context,
+                "num_classes": num_embeddings,  # FLOPs need the logit head
+                "window_steps": win["steps"],
+                "window_secs": round(win["secs"], 3),
+                "steps_per_sec": round(sps, 3),
+                "samples_per_sec": round(sps * cfg.batch_size, 1),
+                # host-side shares of the window wall-clock; the remainder
+                # is device compute overlapped with nothing (the dispatch
+                # share is host-visible enqueue time, not device time)
+                "breakdown_pct": {
+                    k: round(
+                        100.0
+                        * (win["timersN"][k] - win["timers0"][k])
+                        / total,
+                        1,
+                    )
+                    for k in timers
+                },
+                "config": config_to_dict(cfg),
+            }
+            os.makedirs(
+                os.path.dirname(os.path.abspath(cfg.timing_report)),
+                exist_ok=True,
+            )
+            with open(cfg.timing_report, "w") as f:
+                _json.dump(report, f, indent=1)
+            print("timing report:", cfg.timing_report,
+                  report["steps_per_sec"], "steps/s")
         logger.close()
         sampler.close()
 
