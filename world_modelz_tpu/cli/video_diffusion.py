@@ -442,6 +442,10 @@ def train(cfg: VideoDiffusionConfig):
         single compiled program (steps_per_dispatch)."""
         params, ema_params, opt_state, sampler_state = carry
         frames, key = inp
+        if frames.dtype == jnp.uint8:
+            # raw uint8 batches cross host->device (4x less relay traffic
+            # than float32); normalize on device instead of on the host
+            frames = frames.astype(jnp.float32) / 255.0
         b, s, hh, ww, c = frames.shape
         k_r, k_corrupt, k_drop = jax.random.split(key, 3)
 
@@ -533,8 +537,16 @@ def train(cfg: VideoDiffusionConfig):
         )
         return (*carry, losses[-1], gns[-1], oks.all())
 
+    # trajectory sources are uint8-native: ship the raw bytes host->device
+    # (4x less relay traffic than float32) and let step_body normalize on
+    # device. moving_mnist/grain clip fns are float32-native and unchanged.
+    train_batch_fn = (
+        sampler.sample_batch
+        if isinstance(sampler, BufferedTrajectorySampler)
+        else clip_fn
+    )
     batches = PrefetchIterator(
-        lambda: clip_fn(cfg.batch_size),
+        lambda: train_batch_fn(cfg.batch_size),
         # fused dispatches (steps_per_dispatch) drain k batches at once;
         # keep the worker at least one full dispatch ahead
         depth=max(2, cfg.steps_per_dispatch + 1),
