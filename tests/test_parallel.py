@@ -72,6 +72,60 @@ def test_checkpoint_roundtrip(tmp_path):
     )
 
 
+def test_latest_checkpoint_skips_incomplete(tmp_path):
+    """A segment killed mid-save leaves an orbax tmp dir, or a renamed dir
+    whose wmz_config.json never landed; neither may win latest_checkpoint
+    (the chained-resume protocol would restore a broken checkpoint)."""
+    import os
+
+    from world_modelz_tpu.train.checkpoint import (
+        latest_checkpoint,
+        save_checkpoint,
+    )
+
+    state = {"w": jnp.arange(4.0)}
+    good = save_checkpoint(str(tmp_path), 10, state, {})
+    # interrupted orbax write at a LATER step: tmp suffix, no config
+    os.makedirs(tmp_path / "step_0000020.orbax-checkpoint-tmp")
+    # renamed dir killed before the config landed
+    os.makedirs(tmp_path / "step_0000030")
+    assert latest_checkpoint(str(tmp_path)) == good
+
+
+def test_async_checkpoint_saver(tmp_path):
+    """Async save survives the caller's buffers being donated/deleted
+    right after save() returns, writes extra_files, and restores equal."""
+    from world_modelz_tpu.train.checkpoint import (
+        AsyncCheckpointSaver,
+        latest_checkpoint,
+        restore_checkpoint,
+    )
+
+    saver = AsyncCheckpointSaver()
+    w = jnp.arange(8.0) * 3
+    state = {"params": {"w": w}, "count": jnp.int32(5)}
+    path = saver.save(
+        str(tmp_path), 7, state, {"dim": 8},
+        extra_files={"grain_state.json": b"{\"pos\": 3}"},
+    )
+    # simulate the train loop invalidating the source buffers (donation)
+    w.delete()
+    saver.wait()
+    assert latest_checkpoint(str(tmp_path)) == path
+    restored, step, config = restore_checkpoint(path)
+    assert step == 7 and config["dim"] == 8
+    np.testing.assert_array_equal(
+        np.asarray(restored["params"]["w"]), np.arange(8.0) * 3
+    )
+    assert (
+        tmp_path / "step_0000007" / "grain_state.json"
+    ).read_bytes() == b"{\"pos\": 3}"
+    # a second save joins the first and keeps working
+    saver.save(str(tmp_path), 8, {"params": {"w": jnp.zeros(2)}}, {})
+    saver.wait()
+    assert latest_checkpoint(str(tmp_path)).endswith("step_0000008")
+
+
 def test_graft_entry_single():
     import __graft_entry__ as g
 

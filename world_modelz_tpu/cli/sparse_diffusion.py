@@ -57,6 +57,7 @@ from world_modelz_tpu.train import (
     warmup_cosine_schedule,
 )
 from world_modelz_tpu.train.checkpoint import (
+    AsyncCheckpointSaver,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -475,9 +476,11 @@ def train(cfg: SparseDiffusionConfig):
         cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
         project=cfg.project, config=config_to_dict(cfg), tags=cfg.tags,
     )
+    saver = AsyncCheckpointSaver()
 
     def restore_latest():
         """Reload the newest on-disk checkpoint (guard escalation path)."""
+        saver.wait()  # an in-flight async save must land first
         path = latest_checkpoint(cfg.output_dir) or cfg.checkpoint
         if not path:
             return None
@@ -626,7 +629,9 @@ def train(cfg: SparseDiffusionConfig):
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
                 tt = time.perf_counter()
-                path = save_checkpoint(
+                # async: snapshot to fresh device buffers, write in the
+                # background; the timer charges only the host-blocking part
+                path = saver.save(
                     cfg.output_dir,
                     step,
                     {
@@ -682,6 +687,10 @@ def train(cfg: SparseDiffusionConfig):
                 _json.dump(report, f, indent=1)
             print("timing report:", cfg.timing_report,
                   report["steps_per_sec"], "steps/s")
+        try:
+            saver.wait()  # the last async save must land before exit
+        except Exception as e:
+            print("[checkpoint] async save failed:", e)
         logger.close()
         batches.close()
         sampler.close()

@@ -62,6 +62,7 @@ from world_modelz_tpu.train import (
     warmup_cosine_schedule,
 )
 from world_modelz_tpu.train.checkpoint import (
+    AsyncCheckpointSaver,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -564,9 +565,11 @@ def train(cfg: VideoDiffusionConfig):
         cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
         project=cfg.project, config=config_to_dict(cfg), tags=cfg.tags,
     )
+    saver = AsyncCheckpointSaver()
 
     def restore_latest():
         """Reload the newest on-disk checkpoint (guard escalation path)."""
+        saver.wait()  # an in-flight async save must land first
         path = latest_checkpoint(cfg.output_dir) or cfg.checkpoint
         if not path:
             return None
@@ -683,7 +686,16 @@ def train(cfg: VideoDiffusionConfig):
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
                 tt = time.perf_counter()
-                path = save_checkpoint(
+                # input-pipeline position rides the checkpoint as a sidecar
+                # (Grain state is JSON bytes); snapshot of the last CONSUMED
+                # batch's position (taken in the prefetch worker, so it
+                # never races the iterator), captured NOW so the background
+                # write records the position as of this step; old
+                # checkpoints without it restore fine
+                grain_state = batches.consumed_state()
+                # async: snapshot to fresh device buffers, write in the
+                # background; the timer charges only the host-blocking part
+                path = saver.save(
                     cfg.output_dir,
                     step,
                     {
@@ -693,19 +705,13 @@ def train(cfg: VideoDiffusionConfig):
                         "sampler": sampler_state,
                     },
                     config_to_dict(cfg),
+                    extra_files=(
+                        {"grain_state.json": grain_state}
+                        if grain_state is not None
+                        else None
+                    ),
                 )
                 timers["checkpoint"] += time.perf_counter() - tt
-                grain_state = batches.consumed_state()
-                if grain_state is not None:
-                    # input-pipeline position rides the checkpoint as a
-                    # sidecar (Grain state is JSON bytes); the snapshot is
-                    # the last CONSUMED batch's position (taken in the
-                    # prefetch worker, so it never races the iterator);
-                    # old checkpoints without it restore fine
-                    with open(
-                        os.path.join(path, "grain_state.json"), "wb"
-                    ) as f:
-                        f.write(grain_state)
                 print("checkpoint:", path)
 
             if cfg.eval_interval and step % cfg.eval_interval == 0:
@@ -756,6 +762,10 @@ def train(cfg: VideoDiffusionConfig):
                 _json.dump(report, f, indent=1)
             print("timing report:", cfg.timing_report, report["steps_per_sec"],
                   "steps/s")
+        try:
+            saver.wait()  # the last async save must land before exit
+        except Exception as e:
+            print("[checkpoint] async save failed:", e)
         batches.close()
         logger.close()
         if sampler is not None:
