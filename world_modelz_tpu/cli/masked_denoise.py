@@ -39,6 +39,7 @@ from world_modelz_tpu.ops.vq import (
 )
 from world_modelz_tpu.train import CheckpointGuard, make_optimizer
 from world_modelz_tpu.train.checkpoint import (
+    AsyncCheckpointSaver,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -282,7 +283,10 @@ def train(cfg: MaskedDenoiseConfig):
     logger = MetricLogger(cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
                          project=cfg.project, config=config_to_dict(cfg))
 
+    saver = AsyncCheckpointSaver()
+
     def restore_latest():
+        saver.wait()  # an in-flight async save must land first
         path = latest_checkpoint(cfg.output_dir)
         if not path:
             return None
@@ -319,7 +323,7 @@ def train(cfg: MaskedDenoiseConfig):
             if cfg.eval_interval and step % cfg.eval_interval == 0:
                 evaluate(params, step)
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
-                path = save_checkpoint(
+                path = saver.save(
                     cfg.output_dir, step,
                     {"params": params, "vq": vq_state, "opt_state": opt_state},
                     config_to_dict(cfg),
@@ -329,6 +333,10 @@ def train(cfg: MaskedDenoiseConfig):
         # trip per training step on a relayed TPU backend
         _plot_loss(cfg, np.asarray(jnp.stack(loss_log)).tolist())
     finally:
+        try:
+            saver.wait()  # the last async save must land before exit
+        except Exception as e:
+            print("[checkpoint] async save failed:", e)
         logger.close()
     return params, vq_state
 

@@ -39,6 +39,7 @@ from world_modelz_tpu.train import (
     step_decay_schedule,
 )
 from world_modelz_tpu.train.checkpoint import (
+    AsyncCheckpointSaver,
     latest_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -282,8 +283,11 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
         tags=cfg.tags,
     )
 
+    saver = AsyncCheckpointSaver()
+
     def restore_latest():
         """Reload the newest on-disk checkpoint (guard escalation path)."""
+        saver.wait()  # an in-flight async save must land first
         path = latest_checkpoint(cfg.output_dir) or cfg.checkpoint
         if not path:
             return None
@@ -336,7 +340,7 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
                 )
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
-                path = save_checkpoint(
+                path = saver.save(
                     cfg.output_dir,
                     step,
                     {"tokenizer": state, "opt_state": opt_state},
@@ -349,6 +353,10 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
                     f"{cfg.output_dir}/{cfg.name}_reconst_{step:07d}.png",
                 )
     finally:
+        try:
+            saver.wait()  # the last async save must land before exit
+        except Exception as e:
+            print("[checkpoint] async save failed:", e)
         batches.close()
         logger.close()
 
