@@ -601,6 +601,7 @@ def train(cfg: VideoDiffusionConfig):
               "checkpoint": 0.0, "eval": 0.0}
     win = {"step": None, "time": None, "steps": 0, "secs": 0.0}
     kdisp = max(1, cfg.steps_per_dispatch)
+    seen_sizes = set()  # dispatch lengths already compiled+run
 
     def dispatch_len(done: int) -> int:
         """Steps to fuse into the next program: up to `kdisp`, but never
@@ -639,6 +640,7 @@ def train(cfg: VideoDiffusionConfig):
                     tuple(frame_list), keys[1:],
                 )
             step += n
+            seen_sizes.add(n)
             timers["dispatch"] += time.perf_counter() - tt
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 # the guard acts on-device every step; the host only samples
@@ -658,7 +660,14 @@ def train(cfg: VideoDiffusionConfig):
                 timers["log_sync"] += now - tt
                 # window: from the 2nd log point (warmup/compile excluded)
                 # to the latest one, both at fence time
-                if win["step"] is None and step > start_step + 1:
+                opened = win["step"] is None and step > start_step + 1
+                # with fused dispatch the steady-state k-step program only
+                # compiles at the first full-k dispatch (after the second
+                # log point); opening the window before then averages a
+                # 1-4 min relay compile into the steps/sec
+                if opened and kdisp > 1 and kdisp not in seen_sizes:
+                    opened = False
+                if opened:
                     win["step"], win["time"] = step, now
                     win["timers0"] = dict(timers)
                 elif win["step"] is not None:
