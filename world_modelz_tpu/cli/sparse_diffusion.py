@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from collections import deque
 from functools import partial
 
 import jax
@@ -108,6 +109,10 @@ class SparseDiffusionConfig:
     p_max_uniform: float = 0.1
     uniform_noise: bool = False
     log_interval: int = 10
+    # "deferred" (default): log points read the PREVIOUS log point's
+    # already-computed scalars so the device keeps a dispatch in flight;
+    # "sync" reads at the own step (see video_diffusion.py:log_fence)
+    log_fence: str = "deferred"
     histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
     # write an end-to-end timing breakdown JSON on exit (ledger section
     # train_e2e_sparse reads it): steps/sec over the post-warmup window
@@ -517,6 +522,38 @@ def train(cfg: SparseDiffusionConfig):
     rejected = 0
     batch_z = None
     t0 = time.time()
+    # Deferred log readback (cfg.log_fence="deferred"): see
+    # video_diffusion.py — log points enqueue their scalar readbacks and
+    # read the PREVIOUS point's (already-computed) values, keeping a
+    # dispatch in flight through every log point. Timing windows open and
+    # close only on explicit value fences (queue drains).
+    pending = deque()  # (step, ok, loss, grad_norm, host_steps_per_sec)
+
+    def flush_log_entry(entry):
+        """Read back and log one enqueued log point (a value fence for the
+        dispatch that produced it). Returns the guard's restore tuple when
+        NaN escalation fired, else None."""
+        nonlocal rejected
+        estep, ok_e, loss_e, gn_e, sps = entry
+        # the guard acts on-device every step; the host only samples the
+        # flag at log points to avoid a per-step readback sync
+        accepted = bool(ok_e) or not cfg.nan_guard
+        if not accepted:
+            rejected += 1
+            print(f"{estep}: step REJECTED (non-finite loss/grads)")
+        restored = guard.record(accepted, estep)
+        m = {
+            "loss": float(loss_e),
+            "grad_norm": float(gn_e),
+            "lr": float(schedule(estep)),
+            "steps_per_sec": sps,
+        }
+        logger.log(estep, **m)
+        print(
+            f"{estep}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
+            f"grad_norm {m['grad_norm']:.3e}"
+        )
+        return restored
     # end-to-end timing (cfg.timing_report): host-side time sinks plus a
     # steps/sec window anchored on log-point readbacks (value fences)
     timers = {"data": 0.0, "dispatch": 0.0, "log_sync": 0.0,
@@ -584,21 +621,14 @@ def train(cfg: SparseDiffusionConfig):
             timers["dispatch"] += time.perf_counter() - tt
 
             if step % cfg.log_interval == 0 or step == start_step + 1:
-                accepted = bool(ok) or not cfg.nan_guard
-                if not accepted:
-                    rejected += 1
-                    print(f"{step}: step REJECTED (non-finite loss/grads)")
-                restored = guard.record(accepted, step)
-                if restored is not None:
-                    params, ema_params, opt_state, sampler_state = restored
                 dt = time.time() - t0
                 t0 = time.time()
-                tt = time.perf_counter()
-                loss_host = float(loss)  # value readback: fences the device
-                now = time.perf_counter()
-                timers["log_sync"] += now - tt
+                pending.append(
+                    (step, ok, loss, gn, cfg.log_interval / max(dt, 1e-9))
+                )
+                deferred = cfg.log_fence == "deferred"
                 # window: from the 2nd log point (warmup/compile excluded)
-                # to the latest one, both at fence time
+                # to the latest fence
                 opened = win["step"] is None and step > start_step + 1
                 # with fused dispatch the steady-state k-step program only
                 # compiles at the first full-k dispatch (after the second
@@ -606,24 +636,27 @@ def train(cfg: SparseDiffusionConfig):
                 # 1-4 min relay compile into the steps/sec
                 if opened and kdisp > 1 and kdisp not in seen_sizes:
                     opened = False
+                # a window EDGE must be a value fence; in deferred mode
+                # that means draining the whole queue at the opening point
+                # (intermediate points keep one entry in flight; the close
+                # fence is the end-of-run drain)
+                fence = (not deferred) or opened
+                tt = time.perf_counter()
+                while len(pending) > (0 if fence else 1):
+                    restored = flush_log_entry(pending.popleft())
+                    if restored is not None:
+                        params, ema_params, opt_state, sampler_state = (
+                            restored
+                        )
+                now = time.perf_counter()
+                timers["log_sync"] += now - tt
                 if opened:
                     win["step"], win["time"] = step, now
                     win["timers0"] = dict(timers)
-                elif win["step"] is not None:
+                elif win["step"] is not None and fence:
                     win["steps"] = step - win["step"]
                     win["secs"] = now - win["time"]
                     win["timersN"] = dict(timers)
-                m = {
-                    "loss": loss_host,
-                    "grad_norm": float(gn),
-                    "lr": float(schedule(step)),
-                    "steps_per_sec": cfg.log_interval / max(dt, 1e-9),
-                }
-                logger.log(step, **m)
-                print(
-                    f"{step}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
-                    f"grad_norm {m['grad_norm']:.3e}"
-                )
 
             if (
                 cfg.histogram_interval
@@ -661,6 +694,27 @@ def train(cfg: SparseDiffusionConfig):
                     run_eval(ema_params, "ema", step)
                 timers["eval"] += time.perf_counter() - tt
     finally:
+        # deferred mode: drain the in-flight log entry — a value fence
+        # that also closes the timing window honestly (the drain waits for
+        # every dispatch up to the last log point to COMPUTE, so the
+        # window includes that device time)
+        try:
+            last_step = pending[-1][0] if pending else None
+            while pending:
+                restored = flush_log_entry(pending.popleft())
+                if restored is not None:
+                    params, ema_params, opt_state, sampler_state = restored
+            if (
+                last_step is not None
+                and win["step"] is not None
+                and last_step > win["step"]
+            ):
+                now = time.perf_counter()
+                win["steps"] = last_step - win["step"]
+                win["secs"] = now - win["time"]
+                win["timersN"] = dict(timers)
+        except Exception as e:  # device in a bad state: report what we have
+            print("[log] deferred readback failed:", e)
         if cfg.timing_report and win["steps"] > 0:
             import json as _json
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 import dataclasses
 import os
 import time
+from collections import deque
 from functools import partial
 from typing import Optional, Tuple
 
@@ -121,6 +122,13 @@ class VideoDiffusionConfig:
     num_eval_iterations: int = 30
     p_max_uniform: float = 0.1
     log_interval: int = 10
+    # "deferred": log points enqueue their scalar readbacks and read the
+    # PREVIOUS log point's (already-computed) values, so the device always
+    # has a dispatch in flight — the synchronous mode drains the device
+    # and idles it through 2-3 relay RPC roundtrips + logging every log
+    # point (measured 15.9% of trainer wall at log_interval=10). "sync"
+    # restores the strict read-at-own-step behavior.
+    log_fence: str = "deferred"
     histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
     # write an end-to-end timing breakdown JSON on exit (ledger section
     # train_e2e ingests it): steps/sec over the post-warmup window between
@@ -595,6 +603,43 @@ def train(cfg: VideoDiffusionConfig):
     guard = CheckpointGuard(restore_latest)
     t0 = time.time()
     rejected = 0
+    # Deferred log readback (cfg.log_fence="deferred"): at a log point the
+    # host ENQUEUES the readback (pushes the device scalars on a small
+    # queue) and reads the PREVIOUS log point's values instead — those are
+    # long computed, so the read returns immediately and the device always
+    # has the next dispatch in flight. With the synchronous mode the device
+    # drains and then idles through the guard check, 2-3 value-readback RPC
+    # roundtrips, logging and the next batch fetch at every log point
+    # (measured 15.9% of wall at log_interval=10 on the relay). Timing
+    # windows stay honest: they open and close on explicit value fences
+    # (a drain of the queue), never on deferred reads.
+    pending = deque()  # (step, ok, loss, grad_norm, host_steps_per_sec)
+
+    def flush_log_entry(entry):
+        """Read back and log one enqueued log point (a value fence for the
+        dispatch that produced it). Returns the guard's restore tuple when
+        NaN escalation fired, else None."""
+        nonlocal rejected
+        estep, ok_e, loss_e, gn_e, sps = entry
+        # the guard acts on-device every step; the host only samples the
+        # flag at log points to avoid a per-step readback sync
+        accepted = bool(ok_e) or not cfg.nan_guard
+        if not accepted:
+            rejected += 1
+            print(f"{estep}: step REJECTED (non-finite loss/grads)")
+        restored = guard.record(accepted, estep)
+        m = {
+            "loss": float(loss_e),
+            "grad_norm": float(gn_e),
+            "lr": float(schedule(estep)),
+            "steps_per_sec": sps,
+        }
+        logger.log(estep, **m)
+        print(
+            f"{estep}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
+            f"grad_norm {m['grad_norm']:.3e}"
+        )
+        return restored
     # end-to-end timing (cfg.timing_report): host-side time sinks plus a
     # steps/sec window anchored on log-point readbacks (value fences)
     timers = {"data": 0.0, "dispatch": 0.0, "log_sync": 0.0,
@@ -643,23 +688,14 @@ def train(cfg: VideoDiffusionConfig):
             seen_sizes.add(n)
             timers["dispatch"] += time.perf_counter() - tt
             if step % cfg.log_interval == 0 or step == start_step + 1:
-                # the guard acts on-device every step; the host only samples
-                # the flag at log points to avoid a per-step readback sync
-                accepted = bool(ok) or not cfg.nan_guard
-                if not accepted:
-                    rejected += 1
-                    print(f"{step}: step REJECTED (non-finite loss/grads)")
-                restored = guard.record(accepted, step)
-                if restored is not None:
-                    params, ema_params, opt_state, sampler_state = restored
                 dt = time.time() - t0
                 t0 = time.time()
-                tt = time.perf_counter()
-                loss_host = float(loss)  # value readback: fences the device
-                now = time.perf_counter()
-                timers["log_sync"] += now - tt
+                pending.append(
+                    (step, ok, loss, gn, cfg.log_interval / max(dt, 1e-9))
+                )
+                deferred = cfg.log_fence == "deferred"
                 # window: from the 2nd log point (warmup/compile excluded)
-                # to the latest one, both at fence time
+                # to the latest fence
                 opened = win["step"] is None and step > start_step + 1
                 # with fused dispatch the steady-state k-step program only
                 # compiles at the first full-k dispatch (after the second
@@ -667,24 +703,27 @@ def train(cfg: VideoDiffusionConfig):
                 # 1-4 min relay compile into the steps/sec
                 if opened and kdisp > 1 and kdisp not in seen_sizes:
                     opened = False
+                # a window EDGE must be a value fence; in deferred mode
+                # that means draining the whole queue at the opening point
+                # (intermediate points keep one entry in flight and are
+                # not fences; the close fence is the end-of-run drain)
+                fence = (not deferred) or opened
+                tt = time.perf_counter()
+                while len(pending) > (0 if fence else 1):
+                    restored = flush_log_entry(pending.popleft())
+                    if restored is not None:
+                        params, ema_params, opt_state, sampler_state = (
+                            restored
+                        )
+                now = time.perf_counter()
+                timers["log_sync"] += now - tt
                 if opened:
                     win["step"], win["time"] = step, now
                     win["timers0"] = dict(timers)
-                elif win["step"] is not None:
+                elif win["step"] is not None and fence:
                     win["steps"] = step - win["step"]
                     win["secs"] = now - win["time"]
                     win["timersN"] = dict(timers)
-                m = {
-                    "loss": loss_host,
-                    "grad_norm": float(gn),
-                    "lr": float(schedule(step)),
-                    "steps_per_sec": cfg.log_interval / max(dt, 1e-9),
-                }
-                logger.log(step, **m)
-                print(
-                    f"{step}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
-                    f"grad_norm {m['grad_norm']:.3e}"
-                )
 
             if cfg.histogram_interval and step % cfg.histogram_interval == 0:
                 logger.log_histogram(
@@ -737,6 +776,27 @@ def train(cfg: VideoDiffusionConfig):
                     )
                 timers["eval"] += time.perf_counter() - tt
     finally:
+        # deferred mode: drain the in-flight log entry — a value fence
+        # that also closes the timing window honestly (the drain waits for
+        # every dispatch up to the last log point to COMPUTE, so the
+        # window includes that device time)
+        try:
+            last_step = pending[-1][0] if pending else None
+            while pending:
+                restored = flush_log_entry(pending.popleft())
+                if restored is not None:
+                    params, ema_params, opt_state, sampler_state = restored
+            if (
+                last_step is not None
+                and win["step"] is not None
+                and last_step > win["step"]
+            ):
+                now = time.perf_counter()
+                win["steps"] = last_step - win["step"]
+                win["secs"] = now - win["time"]
+                win["timersN"] = dict(timers)
+        except Exception as e:  # device in a bad state: report what we have
+            print("[log] deferred readback failed:", e)
         if cfg.timing_report and win["steps"] > 0:
             import json as _json
 
