@@ -17,15 +17,22 @@ relay dispatch are the unexplained remainder. A row is labeled with its
 DOMINANT limit (compute or memory) when that limit explains >=40% of the
 measured time, else overhead-bound.
 
+For Pallas attention rows a third limit is scored: the EXECUTED flops of
+the routed masked-dense variant (the kernels dot every query against all
+Ts*HW loaded keys and mask out-of-window entries — 28.4x the useful
+flops at extents (3,1,1) on a 16x16 grid).
+
 Conclusion this records for the m3 shape (b8 s6 16x16 inner128 f32): the
-attention op moves ~25 MB and needs ~31 us at the 819 GB/s v5e HBM peak
-and ~2 us at the 197 TFLOP/s MXU peak, but measures ~107 us — i.e. it is
-at NEITHER roofline; ~70% of the time is per-program overhead at this
-small grid. That overhead, not arithmetic, is why kernel-only variants
-plateau near XLA parity (attn/m3 1.05x) while the same kernel is 12.5x
-at 32x32 grids, and why the whole-BLOCK comparison (projections kept in
-bf16 + one launch per clip, `attn_block/m3/*`) is where the real win
-shows (1.85x XLA). Reference baseline for the op itself:
+useful-flop limit is ~2 us and the HBM limit ~31 us, but the EXECUTED
+masked-dense flops need >=57 us even at bf16 peak (the bench feeds f32,
+which runs the MXU slower still) against ~107 us measured — the op is
+near its *executed*-compute roofline, not launch-bound and not at the
+memory roofline. The 28x masked-dense waste, inherent to computing
+full-plane scores for a 9-position spatial window, is both why the op
+only matches XLA at small grids and the remaining lever: a narrower key
+band per query tile (the H-tiled variant's two-TH-row-slab trick already
+does this for big grids) buys up to ~2.5x before hitting HBM. Reference
+baseline for the op itself:
 vq-video-diffusion/triton_prototpye/local_3d_attention_triton1.py:283-313
 (wall-clock ratios only, no roofline accounting).
 
@@ -50,6 +57,44 @@ PEAKS = {"TPU v5 lite": (197.0e12, 819.0e9), "TPU v5e": (197.0e12, 819.0e9)}
 def _hw(cfg):
     h, w = (int(t) for t in str(cfg.get("hw", "0x0")).split("x"))
     return h, w
+
+
+def executed_attn_flops(cfg: dict) -> tuple[int, str] | None:
+    """EXECUTED MXU flops of the routed Pallas variant (vs the USEFUL
+    flops the ledger scores MFU against).
+
+    The kernels compute masked-DENSE scores: every query row dots every
+    key row of its loaded block, out-of-window entries masked to -inf.
+    Full-frame/all-frames load Ts whole frames per query frame (Ts*HW
+    keys/query: 28x the <=63 useful at extents (3,1,1), 16x16); the
+    H-tiled variant loads two TH-row slabs per frame offset (Ts*2*TH*W
+    keys/query). Executed = 2 matmuls x 2*M*K*N over those widths —
+    this, not launch count, is what the measured times track (see
+    artifacts/attn_roofline.json rows)."""
+    from world_modelz_tpu.kernels import local3d as K
+
+    h, w = _hw(cfg)
+    b, s, inner = cfg["b"], cfg["s"], cfg["inner"]
+    es = cfg["extents"][0] if isinstance(cfg["extents"], (list, tuple)) \
+        else int(str(cfg["extents"]).split("x")[0])
+    ts = 2 * es + 1
+    hw = h * w
+    dh = inner  # benched heads=1
+    ext = (es, 1, 1)
+    if K.fits_vmem_allframes(s, h, w, ext, dh):  # f32 bench operands
+        keys = ts * hw
+        fl = 2 * 2 * (b * s * hw) * keys * dh
+        return fl, f"all-frames: {keys} keys/query masked-dense"
+    if K.fits_vmem(s, h, w, ext, dh):
+        keys = ts * hw
+        fl = 2 * 2 * (b * s * hw) * keys * dh
+        return fl, f"per-frame: {keys} keys/query masked-dense"
+    th = K.pick_h_tile(s, h, w, ext, dh)
+    if th is None:
+        return None
+    keys = ts * 2 * th * w
+    fl = 2 * 2 * (b * s * hw) * keys * dh
+    return fl, f"H-tiled th={th}: {keys} keys/query masked-dense"
 
 
 def min_bytes(name: str, cfg: dict) -> tuple[int, str] | None:
@@ -105,10 +150,20 @@ def main():
         t_meas = e["ms"] * 1e-3
         t_flops = e["flops"] / flop_peak
         t_bytes = nbytes / bw_peak
+        # Pallas attention rows: also score against the EXECUTED flops of
+        # the routed masked-dense variant (bf16-peak lower bound; the
+        # sec_attn bench feeds f32 operands, which run the MXU slower)
+        exec_fl = None
+        if e["name"].startswith("attn/") and e["name"].endswith("/pallas"):
+            exec_fl = executed_attn_flops(e["config"])
+        t_exec = exec_fl[0] / flop_peak if exec_fl else None
         # dominant limit + how much of the measured time it explains;
-        # when neither explains >=40%, per-program overhead is the story
-        limit = "compute" if t_flops >= t_bytes else "memory"
-        explained = max(t_flops, t_bytes) / t_meas
+        # when nothing explains >=40%, per-program overhead is the story
+        cands = [("compute", t_flops), ("memory", t_bytes)]
+        if t_exec is not None:
+            cands.append(("kernel-compute(executed)", t_exec))
+        limit, t_lim = max(cands, key=lambda c: c[1])
+        explained = t_lim / t_meas
         bound = limit if explained >= 0.4 else "overhead"
         rows.append({
             "name": e["name"],
@@ -121,9 +176,19 @@ def main():
             "hbm_bw_pct": round(100 * t_bytes / t_meas, 1),
             "limit_explains_pct": round(100 * explained, 1),
             "overhead_pct": round(
-                100 * max(0.0, t_meas - max(t_flops, t_bytes)) / t_meas, 1
+                100 * max(0.0, t_meas - t_lim) / t_meas, 1
             ),
             "bound": bound,
+            **(
+                {
+                    "executed_flops": exec_fl[0],
+                    "executed_waste_x": round(exec_fl[0] / e["flops"], 1),
+                    "t_exec_flops_us": round(t_exec * 1e6, 2),
+                    "variant": exec_fl[1],
+                }
+                if exec_fl
+                else {}
+            ),
             "traffic_model": note,
             "config": e["config"],
         })
