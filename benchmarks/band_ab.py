@@ -1,0 +1,105 @@
+"""A/B the banded all-frames local3d kernels on TPU at the flagship shape.
+
+One-off measurement driving the qt (query row band) preference in
+`kernels.local3d.pick_allframes_band`: narrower bands execute fewer
+masked-dense flops (the lever identified by benchmarks/attn_roofline.py)
+but shrink the MXU M dimension. Run on the real chip:
+
+    python benchmarks/band_ab.py [--dtype bf16] [--shape m3|s32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from world_modelz_tpu.utils import compcache
+from world_modelz_tpu.utils.profiling import benchmark_chained
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+    p.add_argument("--shape", default="m3", choices=["m3", "s32"])
+    p.add_argument("--platform", default=None)
+    args = p.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    compcache.enable()
+
+    from world_modelz_tpu.kernels.local3d import (
+        _bwd_impl,
+        _bwd_impl_allframes,
+        _fwd_impl,
+        _fwd_impl_allframes,
+        fits_vmem_allframes,
+        fits_vmem_allframes_bwd,
+    )
+
+    dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    item = jnp.dtype(dtype).itemsize
+    if args.shape == "m3":
+        b, s, h, w, inner, heads = 8, 6, 16, 16, 128, 1
+    else:
+        b, s, h, w, inner, heads = 2, 32, 16, 16, 128, 1
+    extents = (3, 1, 1)
+    key = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(key, (b, s, h, w, inner), dtype)
+
+    def fwd_step(qt):
+        def step(x):
+            return _fwd_impl_allframes(x, x, x, extents, heads, False, qt)
+        return step
+
+    def bwd_step(qt):
+        def step(x):
+            dq, dk, dv = _bwd_impl_allframes(
+                x, x, x, x, extents, heads, False, qt
+            )
+            return dq + dk + dv
+        return step
+
+    for qt in (None, 8, 4, 2):
+        if qt is not None and (qt >= h or h % qt):
+            continue
+        if not fits_vmem_allframes(s, h, w, extents, inner // heads, item, qt):
+            print(f"fwd qt={qt}: does not fit")
+        else:
+            us = benchmark_chained(
+                fwd_step(qt), x0, iters_short=40, iters_long=240, trials=3
+            ) * 1e6
+            print(f"fwd qt={qt}: {us:.1f} us")
+        if not fits_vmem_allframes_bwd(
+            s, h, w, extents, inner // heads, item, qt
+        ):
+            print(f"bwd qt={qt}: does not fit")
+            continue
+        us = benchmark_chained(
+            bwd_step(qt), x0, iters_short=40, iters_long=240, trials=3
+        ) * 1e6
+        print(f"bwd qt={qt}: {us:.1f} us")
+
+    # per-frame-grid baselines (the pre-banding routed path for shapes
+    # whose all-frames working set did not fit)
+    def fwd_pf(x):
+        return _fwd_impl(x, x, x, extents, heads, False)
+
+    def bwd_pf(x):
+        dq, dk, dv = _bwd_impl(x, x, x, x, extents, heads, False)
+        return dq + dk + dv
+
+    us = benchmark_chained(
+        fwd_pf, x0, iters_short=40, iters_long=240, trials=3
+    ) * 1e6
+    print(f"fwd per-frame grid: {us:.1f} us")
+    us = benchmark_chained(
+        bwd_pf, x0, iters_short=40, iters_long=240, trials=3
+    ) * 1e6
+    print(f"bwd per-frame grid: {us:.1f} us")
+
+
+if __name__ == "__main__":
+    main()

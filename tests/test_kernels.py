@@ -423,16 +423,56 @@ def test_local3d_per_frame_impls_still_match(rng):
 
 
 def test_allframes_route_selection():
-    """Route checks: m3 shape -> all-frames fwd but per-frame bwd; the
-    32-frame volume exceeds both all-frames budgets."""
+    """Route checks: unbanded budgets unchanged (m3 shape -> all-frames
+    fwd but not bwd; 32-frame volume fits neither), and the banded picker
+    unlocks what full frames cannot fit."""
     from world_modelz_tpu.kernels.local3d import (
         fits_vmem_allframes,
         fits_vmem_allframes_bwd,
+        pick_allframes_band,
     )
 
     assert fits_vmem_allframes(6, 16, 16, (3, 1, 1), 128)
     assert not fits_vmem_allframes_bwd(6, 16, 16, (3, 1, 1), 128)
     assert not fits_vmem_allframes(32, 16, 16, (3, 1, 1), 128)
+    # banding: the flagship bwd now fits all-frames (bf16 at qt=8), and
+    # the 32-frame forward fits at qt=8
+    assert pick_allframes_band(6, 16, 16, (3, 1, 1), 128, 2, bwd=True) == 8
+    assert pick_allframes_band(32, 16, 16, (3, 1, 1), 128, 2) == 8
+    # a grid too large even banded falls through to the tiled/per-frame path
+    assert pick_allframes_band(32, 64, 64, (3, 1, 1), 128, 2) is None
+
+
+def test_allframes_banded_fwd_bwd_parity(rng):
+    """Banded all-frames kernels (every qt) match the XLA golden, including
+    clamped edge bands and the static-concat dK/dV accumulation."""
+    from world_modelz_tpu.kernels.local3d import (
+        _bwd_impl_allframes,
+        _fwd_impl_allframes,
+    )
+
+    extents, heads = (2, 1, 1), 2
+    b, s, h, w, inner = 2, 3, 8, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+
+    ref = local3d_attention(q, k, v, extents, heads)
+    _, vjp = jax.vjp(
+        lambda q, k, v: local3d_attention(q, k, v, extents, heads), q, k, v
+    )
+    grads_ref = vjp(g)
+    for qt in (None, 8, 4, 2):
+        out = _fwd_impl_allframes(q, k, v, extents, heads, True, qt)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+        grads = _bwd_impl_allframes(q, k, v, g, extents, heads, True, qt)
+        for a, b_ in zip(grads, grads_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+            )
 
 
 # ---------------------------------------------------------------------------

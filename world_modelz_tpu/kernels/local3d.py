@@ -227,15 +227,22 @@ def fits_vmem_allframes(
     extents: Tuple[int, int, int],
     dh: int,
     itemsize: int = 4,
+    qt: int | None = None,
 ) -> bool:
-    """Forward all-frames working set: q + out + padded k/v + one frame's
-    score intermediates. Operands are sized at their dtype (`itemsize` — 2
-    for the bf16 hot path); score intermediates are always f32."""
+    """Forward all-frames working set: q + out + padded k/v + one query
+    tile's score intermediates. Operands are sized at their dtype
+    (`itemsize` — 2 for the bf16 hot path); score intermediates are always
+    f32. `qt` is the query row band (None = whole frame): banding shrinks
+    the live score tile from (HW, Ts*HW) to (qt*W, Ts*(qt+2eh)*W)."""
     hw = height * width
-    ts = 2 * extents[0] + 1
-    qkv = (seq * hw * dh + 2 * (seq + 2 * extents[0]) * hw * dh) * itemsize
+    es, eh, _ = extents
+    ts = 2 * es + 1
+    qt = height if qt is None else qt
+    rows_q = qt * width
+    rows_k = ts * min(height, qt + 2 * eh) * width
+    qkv = (seq * hw * dh + 2 * (seq + 2 * es) * hw * dh) * itemsize
     out = seq * hw * dh * itemsize
-    score = hw * ts * hw * 4 * 2
+    score = rows_q * rows_k * 4 * 2
     return qkv + out + score <= _VMEM_BUDGET_BYTES
 
 
@@ -246,26 +253,34 @@ def fits_vmem_allframes_bwd(
     extents: Tuple[int, int, int],
     dh: int,
     itemsize: int = 4,
+    qt: int | None = None,
 ) -> bool:
     """Backward adds g + dq + two f32 dK/dV accumulators over padded
     frames — a substantially larger working set than the forward. q/g/dq
     and k/v are sized at the operand dtype; the dK/dV accumulators are
     always f32 (4 bytes).
 
-    The per-frame temporaries are counted too: scores/p, dp, dscores
-    ((HW, Ts*HW) f32), their low-precision casts ds_lo/at_lo, and the
-    dk_f/dv_f window blocks. Omitting them admitted the b64 m3 shape whose
-    true Mosaic stack was 17.3 MB against the 16 MB scoped-VMEM limit
-    (compile-time OOM in the train_b64 ledger section)."""
+    The per-tile temporaries are counted too: scores/p, dp, dscores
+    ((qt*W, Ts*band*W) f32), their low-precision casts ds_lo/at_lo, and
+    the dk_f/dv_f window blocks. Omitting them admitted the b64 m3 shape
+    whose true Mosaic stack was 17.3 MB against the 16 MB scoped-VMEM
+    limit (compile-time OOM in the train_b64 ledger section). Banding
+    (`qt` < height) shrinks exactly these temporaries — it is what lets
+    the flagship S=6 16x16 bf16 shape run the all-frames backward at all."""
     hw = height * width
-    ts = 2 * extents[0] + 1
-    pad = seq + 2 * extents[0]
+    es, eh, _ = extents
+    ts = 2 * es + 1
+    pad = seq + 2 * es
+    qt = height if qt is None else qt
+    rows_q = qt * width
+    band = min(height, qt + 2 * eh)
+    rows_k = ts * band * width
     per_clip = seq * hw * dh * itemsize  # one of q / g / dq
     per_pad = pad * hw * dh * itemsize  # one of k / v
     per_pad_acc = pad * hw * dh * 4  # one of dk / dv (f32 accumulators)
-    score = hw * ts * hw * 4  # one (HW, Ts*HW) f32 intermediate
-    score_lo = hw * ts * hw * itemsize  # one low-precision cast of it
-    dkv_f = ts * hw * dh * 4  # one per-frame dK/dV window block
+    score = rows_q * rows_k * 4  # one score-tile f32 intermediate
+    score_lo = rows_q * rows_k * itemsize  # one low-precision cast of it
+    dkv_f = ts * band * width * dh * 4  # one per-tile dK/dV window block
     return (
         3 * per_clip
         + 2 * per_pad
@@ -277,34 +292,107 @@ def fits_vmem_allframes_bwd(
     )
 
 
+def pick_allframes_band(
+    seq: int,
+    height: int,
+    width: int,
+    extents: Tuple[int, int, int],
+    dh: int,
+    itemsize: int = 4,
+    bwd: bool = False,
+) -> int | None:
+    """Choose the all-frames query row band, or None if no variant fits.
+
+    Every query at (h, w) only attends to key rows within ±eh, so dotting
+    a qt-row query tile against the clamped [h0-eh, h0+qt+eh) key band
+    skips most of the masked-dense waste the roofline analysis measured
+    (28.4x executed flops at 16x16 e=(3,1,1) full-frame; 10.7x at qt=4).
+    Preference order: the narrowest band whose M dim still fills the MXU
+    sublane tile (qt*W >= 128... larger qts), then wider bands, then the
+    unbanded whole frame. Returns the winning qt (== height means
+    unbanded)."""
+    fits = fits_vmem_allframes_bwd if bwd else fits_vmem_allframes
+    cands = [
+        qt for qt in (2, 4, 8, 16, 32, 64)
+        if qt < height and height % qt == 0
+    ]
+    # narrow first among full-M tiles, then the remaining narrow tiles
+    full_m = [qt for qt in cands if qt * width >= 128]
+    rest = [qt for qt in cands if qt * width < 128]
+    for qt in full_m + rest[::-1] + [height]:
+        if fits(seq, height, width, extents, dh, itemsize, qt):
+            return qt
+    return None
+
+
+def _band_bounds(height: int, eh: int, h0: int, qt: int):
+    """Clamped key row band [lo, hi) serving query rows [h0, h0+qt)."""
+    return max(0, h0 - eh), min(height, h0 + qt + eh)
+
+
+def _mask_band(seq, height, width, extents, f, h0, qt, lo, hi):
+    """(qt*W, Ts*band*W) bool valid-mask for the query row tile [h0,
+    h0+qt) of frame f against the key row band [lo, hi). All indices are
+    Python ints (static unroll), so the whole mask constant-folds."""
+    es, eh, ew = extents
+    ts = 2 * es + 1
+    bw = (hi - lo) * width
+    rows_q = qt * width
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows_q, ts * bw), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (rows_q, ts * bw), 1)
+    hq = h0 + qi // width
+    wq = qi % width
+    ds = kj // bw
+    rem = kj % bw
+    hk = lo + rem // width
+    wk = rem % width
+    frame = f + ds - es
+    return (
+        (jnp.abs(hq - hk) <= eh)
+        & (jnp.abs(wq - wk) <= ew)
+        & (frame >= 0)
+        & (frame < seq)
+    )
+
+
 def _attn_kernel_allframes(
     *refs, seq: int, height: int, width: int,
-    extents: Tuple[int, int, int], dh: int
+    extents: Tuple[int, int, int], dh: int, qt: int
 ):
     es, eh, ew = extents
-    hw = height * width
     ts = 2 * es + 1
     q_ref, k_ref, v_ref, o_ref = refs
 
-    k_all = k_ref[0]  # (S + 2es, HW, dh) zero-padded frames
-    v_all = v_ref[0]
     scale = dh**-0.5
-    for f in range(seq):  # static unroll: S is small here by construction
-        q = q_ref[0, f]  # (HW, dh)
-        k = k_all[f : f + ts].reshape(ts * hw, dh)
-        v = v_all[f : f + ts].reshape(ts * hw, dh)
-        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        ok = _mask_block(seq, height, width, extents, f)
-        scores = jnp.where(ok, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        attn = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, f] = jnp.dot(
-            attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-        ).astype(o_ref.dtype)
+    # static double unroll: S and H/qt are small here by construction.
+    # Each query row tile dots only its clamped key row band — the
+    # narrow-band lever from the roofline analysis (executed-flop waste
+    # 28.4x full-frame -> 10.7x at qt=4 for 16x16 e=(3,1,1)).
+    for f in range(seq):
+        for h0 in range(0, height, qt):
+            lo, hi = _band_bounds(height, eh, h0, qt)
+            bw = (hi - lo) * width
+            q = q_ref[0, f, h0 * width : (h0 + qt) * width]  # (qt*W, dh)
+            k = k_ref[0, f : f + ts, lo * width : hi * width].reshape(
+                ts * bw, dh
+            )
+            v = v_ref[0, f : f + ts, lo * width : hi * width].reshape(
+                ts * bw, dh
+            )
+            scores = (
+                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            )
+            ok = _mask_band(seq, height, width, extents, f, h0, qt, lo, hi)
+            scores = jnp.where(ok, scores, NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)
+            attn = p / jnp.sum(p, axis=-1, keepdims=True)
+            o_ref[0, f, h0 * width : (h0 + qt) * width] = jnp.dot(
+                attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
 
 
-def _fwd_impl_allframes(q, k, v, extents, heads, interpret):
+def _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt=None):
     es, eh, ew = extents
     b, s, h, w, inner = q.shape
     dh = inner // heads
@@ -325,11 +413,13 @@ def _fwd_impl_allframes(q, k, v, extents, heads, interpret):
         (1, s + 2 * es, hw, dh), lambda z: (z, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    qt = h if qt is None else qt
     kernel = functools.partial(
         _attn_kernel_allframes, seq=s, height=h, width=w,
-        extents=extents, dh=dh,
+        extents=extents, dh=dh, qt=qt,
     )
     ts = 2 * es + 1
+    band = min(h, qt + 2 * extents[1])
     out = pl.pallas_call(
         kernel,
         grid=(b * heads,),
@@ -338,9 +428,9 @@ def _fwd_impl_allframes(q, k, v, extents, heads, interpret):
         out_shape=jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * s * hw * ts * hw * dh,
+            flops=4 * b * heads * s * hw * ts * band * w * dh,
             bytes_accessed=4 * b * heads * s * hw * dh * 4,
-            transcendentals=b * heads * s * hw * ts * hw,
+            transcendentals=b * heads * s * hw * ts * band * w,
         ),
     )(qz, kz, vz)
     return (
@@ -350,17 +440,34 @@ def _fwd_impl_allframes(q, k, v, extents, heads, interpret):
     )
 
 
+def _band_add(acc, contrib, start):
+    """acc[start:start+n] += contrib via static-slice concatenation.
+
+    Mosaic has no dynamic_slice lowering and jnp's `.at[].add` traces to
+    one even with Python-int indices, so the banded update is expressed as
+    slice / add / re-concatenate with all-static bounds."""
+    n = contrib.shape[0]
+    total = acc.shape[0]
+    if n == total:
+        return acc + contrib
+    parts = []
+    if start > 0:
+        parts.append(acc[:start])
+    parts.append(acc[start : start + n] + contrib)
+    if start + n < total:
+        parts.append(acc[start + n :])
+    return jnp.concatenate(parts, axis=0)
+
+
 def _bwd_kernel_allframes(
     *refs, seq: int, height: int, width: int,
-    extents: Tuple[int, int, int], dh: int
+    extents: Tuple[int, int, int], dh: int, qt: int
 ):
     es, eh, ew = extents
     hw = height * width
     ts = 2 * es + 1
     q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
 
-    k_all = k_ref[0]
-    v_all = v_ref[0]
     scale = dh**-0.5
     # per-padded-frame f32 accumulator rows. A whole-tensor zero-pad + add
     # per query frame (the previous formulation) kept `seq` live
@@ -371,44 +478,58 @@ def _bwd_kernel_allframes(
     dk_rows = [jnp.zeros((hw, dh), jnp.float32) for _ in range(npf)]
     dv_rows = [jnp.zeros((hw, dh), jnp.float32) for _ in range(npf)]
     for f in range(seq):
-        q = q_ref[0, f]
-        g = g_ref[0, f]
-        k = k_all[f : f + ts].reshape(ts * hw, dh)
-        v = v_all[f : f + ts].reshape(ts * hw, dh)
-        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-        ok = _mask_block(seq, height, width, extents, f)
-        scores = jnp.where(ok, scores, NEG_INF)
-        m = jnp.max(scores, axis=-1, keepdims=True)
-        p = jnp.exp(scores - m)
-        attn = p / jnp.sum(p, axis=-1, keepdims=True)
+        for h0 in range(0, height, qt):
+            lo, hi = _band_bounds(height, eh, h0, qt)
+            bw = (hi - lo) * width
+            q = q_ref[0, f, h0 * width : (h0 + qt) * width]
+            g = g_ref[0, f, h0 * width : (h0 + qt) * width]
+            k = k_ref[0, f : f + ts, lo * width : hi * width].reshape(
+                ts * bw, dh
+            )
+            v = v_ref[0, f : f + ts, lo * width : hi * width].reshape(
+                ts * bw, dh
+            )
+            scores = (
+                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+            )
+            ok = _mask_band(seq, height, width, extents, f, h0, qt, lo, hi)
+            scores = jnp.where(ok, scores, NEG_INF)
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            p = jnp.exp(scores - m)
+            attn = p / jnp.sum(p, axis=-1, keepdims=True)
 
-        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-        row = jnp.sum(dp * attn, axis=-1, keepdims=True)
-        dscores = attn * (dp - row)
-        ds_lo = dscores.astype(q.dtype)
-        at_lo = attn.astype(g.dtype)
+            dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+            row = jnp.sum(dp * attn, axis=-1, keepdims=True)
+            dscores = attn * (dp - row)
+            ds_lo = dscores.astype(q.dtype)
+            at_lo = attn.astype(g.dtype)
 
-        dq_ref[0, f] = (
-            jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
-        ).astype(dq_ref.dtype)
-        dk_f = (
-            jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32) * scale
-        ).reshape(ts, hw, dh)
-        dv_f = jnp.dot(
-            at_lo.T, g, preferred_element_type=jnp.float32
-        ).reshape(ts, hw, dh)
-        # each program owns the whole clip: accumulate straight onto the
-        # padded key frames (no cross-program races, no host-side fold).
-        # f and j are Python ints (static unroll) — Mosaic has no
-        # dynamic_slice lowering, and jnp's .at[] indexed add traces to one
-        for j in range(ts):
-            dk_rows[f + j] = dk_rows[f + j] + dk_f[j]
-            dv_rows[f + j] = dv_rows[f + j] + dv_f[j]
+            dq_ref[0, f, h0 * width : (h0 + qt) * width] = (
+                jnp.dot(ds_lo, k, preferred_element_type=jnp.float32)
+                * scale
+            ).astype(dq_ref.dtype)
+            dk_f = (
+                jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32)
+                * scale
+            ).reshape(ts, bw, dh)
+            dv_f = jnp.dot(
+                at_lo.T, g, preferred_element_type=jnp.float32
+            ).reshape(ts, bw, dh)
+            # each program owns the whole clip: accumulate straight onto
+            # the padded key frames (no cross-program races, no host-side
+            # fold); banded tiles land on their [lo, hi) row slice.
+            for j in range(ts):
+                dk_rows[f + j] = _band_add(
+                    dk_rows[f + j], dk_f[j], lo * width
+                )
+                dv_rows[f + j] = _band_add(
+                    dv_rows[f + j], dv_f[j], lo * width
+                )
     dk_ref[0] = jnp.stack(dk_rows).astype(dk_ref.dtype)
     dv_ref[0] = jnp.stack(dv_rows).astype(dv_ref.dtype)
 
 
-def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret):
+def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt=None):
     es, eh, ew = extents
     b, s, h, w, inner = q.shape
     dh = inner // heads
@@ -429,9 +550,10 @@ def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret):
         (1, s + 2 * es, hw, dh), lambda z: (z, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    qt = h if qt is None else qt
     kernel = functools.partial(
         _bwd_kernel_allframes, seq=s, height=h, width=w,
-        extents=extents, dh=dh,
+        extents=extents, dh=dh, qt=qt,
     )
     dq, dk_p, dv_p = pl.pallas_call(
         kernel,
@@ -764,8 +886,11 @@ def local3d_attention_pallas(
 def _route_fwd(q, k, v, extents, heads, interpret):
     b, s, h, w, inner = q.shape
     dh = inner // heads
-    if fits_vmem_allframes(s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize):
-        return _fwd_impl_allframes(q, k, v, extents, heads, interpret)
+    qt = pick_allframes_band(
+        s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize
+    )
+    if qt is not None:
+        return _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt)
     return _dispatch(_fwd_impl, _fwd_impl_tiled, q, k, v, extents, heads,
                      interpret)
 
@@ -773,10 +898,11 @@ def _route_fwd(q, k, v, extents, heads, interpret):
 def _route_bwd(q, k, v, g, extents, heads, interpret):
     b, s, h, w, inner = q.shape
     dh = inner // heads
-    if fits_vmem_allframes_bwd(
-        s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize
-    ):
-        return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret)
+    qt = pick_allframes_band(
+        s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize, bwd=True
+    )
+    if qt is not None:
+        return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt)
     return _dispatch(_bwd_impl, _bwd_impl_tiled, q, k, v, g, extents,
                      heads, interpret)
 
