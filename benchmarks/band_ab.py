@@ -82,23 +82,30 @@ def main():
         ) * 1e6
         print(f"bwd qt={qt}: {us:.1f} us")
 
-    # per-frame-grid baselines (the pre-banding routed path for shapes
-    # whose all-frames working set did not fit)
-    def fwd_pf(x):
-        return _fwd_impl(x, x, x, extents, heads, False)
+    # per-frame-grid variants (the routed path for shapes whose all-frames
+    # working set does not fit), banded and unbanded
+    def fwd_pf(qt):
+        def step(x):
+            return _fwd_impl(x, x, x, extents, heads, False, qt)
+        return step
 
-    def bwd_pf(x):
-        dq, dk, dv = _bwd_impl(x, x, x, x, extents, heads, False)
-        return dq + dk + dv
+    def bwd_pf(qt):
+        def step(x):
+            dq, dk, dv = _bwd_impl(x, x, x, x, extents, heads, False, qt)
+            return dq + dk + dv
+        return step
 
-    us = benchmark_chained(
-        fwd_pf, x0, iters_short=40, iters_long=240, trials=3
-    ) * 1e6
-    print(f"fwd per-frame grid: {us:.1f} us")
-    us = benchmark_chained(
-        bwd_pf, x0, iters_short=40, iters_long=240, trials=3
-    ) * 1e6
-    print(f"bwd per-frame grid: {us:.1f} us")
+    for qt in (None, 8, 4):
+        if qt is not None and (qt >= h or h % qt):
+            continue
+        us = benchmark_chained(
+            fwd_pf(qt), x0, iters_short=40, iters_long=240, trials=3
+        ) * 1e6
+        print(f"fwd per-frame qt={qt}: {us:.1f} us")
+        us = benchmark_chained(
+            bwd_pf(qt), x0, iters_short=40, iters_long=240, trials=3
+        ) * 1e6
+        print(f"bwd per-frame qt={qt}: {us:.1f} us")
 
 
 if __name__ == "__main__":

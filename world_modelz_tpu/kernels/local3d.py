@@ -43,22 +43,56 @@ _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
 def fits_vmem(
-    seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
+    seq: int, height: int, width: int, extents: Tuple[int, int, int],
+    dh: int, qt: int | None = None,
 ) -> bool:
     """Whether one full-frame grid program's working set fits the VMEM
     budget.
 
     Per program: q/dq (HW, dh), k/v/dk/dv blocks (Ts*HW, dh), and two
-    (HW, Ts*HW) f32 score-sized intermediates. When this is False the
+    score-sized f32 intermediates — (HW, Ts*HW) unbanded, or
+    (qt*W, Ts*band*W) with a `qt`-row query band. When this is False the
     H-tiled variant takes over (`pick_h_tile`); only if that is also
     impossible do callers fall back to XLA.
     """
     hw = height * width
-    ts = 2 * extents[0] + 1
-    score_bytes = hw * ts * hw * 4 * 2
+    es, eh, _ = extents
+    ts = 2 * es + 1
+    qt = height if qt is None else qt
+    rows_q = qt * width
+    rows_k = ts * min(height, qt + 2 * eh) * width
+    score_bytes = rows_q * rows_k * 4 * 2
     kv_bytes = ts * hw * dh * 4 * 4
     q_bytes = hw * dh * 4 * 2
     return score_bytes + kv_bytes + q_bytes <= _VMEM_BUDGET_BYTES
+
+
+def _band_candidates(height: int, width: int, eh: int):
+    """qt preference order: narrowest band whose M dim still fills the
+    MXU sublane tile (qt*W >= 128), then wider fallbacks, then the
+    unbanded whole frame. Bands that cover the whole height anyway
+    (qt + 2eh >= height) save no flops and are excluded. Measured on v5e
+    (benchmarks/band_ab.py): at 16x16 e=(3,1,1) bf16, qt=8 beats qt=4
+    (full M wins over the extra flop cut) and both beat unbanded."""
+    cands = [
+        qt for qt in (2, 4, 8, 16, 32, 64)
+        if qt + 2 * eh < height and height % qt == 0
+    ]
+    full_m = [qt for qt in cands if qt * width >= 128]
+    rest = [qt for qt in cands if qt * width < 128]
+    return full_m + rest[::-1] + [height]
+
+
+def pick_frame_band(
+    seq: int, height: int, width: int, extents: Tuple[int, int, int],
+    dh: int,
+) -> int | None:
+    """Query row band for the per-frame grid kernels, or None if even the
+    narrowest band exceeds VMEM (callers then try the H-tiled variant)."""
+    for qt in _band_candidates(height, width, extents[1]):
+        if fits_vmem(seq, height, width, extents, dh, qt):
+            return qt
+    return None
 
 
 def pick_h_tile(
@@ -97,52 +131,40 @@ def kernel_supported(
 
 def _attn_kernel(
     *refs, seq: int, height: int, width: int,
-    extents: Tuple[int, int, int], dh: int
+    extents: Tuple[int, int, int], dh: int, qt: int
 ):
     es, eh, ew = extents
-    hw = height * width
     ts = 2 * es + 1
-    s = pl.program_id(1)
+    s = pl.program_id(1)  # traced — _mask_band only uses it arithmetically
 
     q_ref = refs[0]
     k_refs = refs[1 : 1 + ts]
     v_refs = refs[1 + ts : 1 + 2 * ts]
     o_ref = refs[1 + 2 * ts]
 
+    scale = dh**-0.5
     # operands stay in their input dtype (bf16 on the hot path — the MXU
     # multiplies bf16 natively; upcasting first would force slow f32
-    # passes); accumulation is f32 via preferred_element_type
-    q = q_ref[0, 0]  # (HW, dh)
-    k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # (Ts*HW, dh)
-    v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
-
-    scale = dh**-0.5
-    scores = (
-        jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    )  # (HW, Ts*HW) f32
-
-    # in-register mask: spatial window + frame validity
-    qi = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 1)
-    hq, wq = qi // width, qi % width
-    ds = kj // hw
-    rem = kj % hw
-    hk, wk = rem // width, rem % width
-    frame = s + ds - es  # absolute key frame index
-    ok = (
-        (jnp.abs(hq - hk) <= eh)
-        & (jnp.abs(wq - wk) <= ew)
-        & (frame >= 0)
-        & (frame < seq)
-    )
-    scores = jnp.where(ok, scores, NEG_INF)
-
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    attn = p / jnp.sum(p, axis=-1, keepdims=True)
-    o_ref[0, 0] = jnp.dot(
-        attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-    ).astype(o_ref.dtype)
+    # passes); accumulation is f32 via preferred_element_type. Query row
+    # tiles dot only their clamped ±eh key band (see _attn_kernel_allframes).
+    for h0 in range(0, height, qt):
+        lo, hi = _band_bounds(height, eh, h0, qt)
+        q = q_ref[0, 0, h0 * width : (h0 + qt) * width]  # (qt*W, dh)
+        k = jnp.concatenate(
+            [r[0, 0, lo * width : hi * width] for r in k_refs], axis=0
+        )  # (Ts*band*W, dh)
+        v = jnp.concatenate(
+            [r[0, 0, lo * width : hi * width] for r in v_refs], axis=0
+        )
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        ok = _mask_band(seq, height, width, extents, s, h0, qt, lo, hi)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        attn = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, 0, h0 * width : (h0 + qt) * width] = jnp.dot(
+            attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        ).astype(o_ref.dtype)
 
 
 def _fwd_impl(
@@ -152,6 +174,7 @@ def _fwd_impl(
     extents: Tuple[int, int, int],
     heads: int,
     interpret: bool,
+    qt: int | None = None,
 ) -> jnp.ndarray:
     es, eh, ew = extents
     b, s, h, w, inner = q.shape
@@ -182,8 +205,11 @@ def _fwd_impl(
         (1, 1, hw, dh), lambda z, i: (z, i, 0, 0), memory_space=pltpu.VMEM
     )
 
+    qt = h if qt is None else qt
+    band = min(h, qt + 2 * extents[1])
     kernel = functools.partial(
-        _attn_kernel, seq=s, height=h, width=w, extents=extents, dh=dh
+        _attn_kernel, seq=s, height=h, width=w, extents=extents, dh=dh,
+        qt=qt,
     )
     out = pl.pallas_call(
         kernel,
@@ -195,9 +221,9 @@ def _fwd_impl(
         out_shape=jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * s * hw * ts * hw * dh,
+            flops=4 * b * heads * s * hw * ts * band * w * dh,
             bytes_accessed=4 * b * heads * s * hw * dh * 4,
-            transcendentals=b * heads * s * hw * ts * hw,
+            transcendentals=b * heads * s * hw * ts * band * w,
         ),
     )(qz, *([kz] * ts), *([vz] * ts))
 
@@ -307,19 +333,10 @@ def pick_allframes_band(
     a qt-row query tile against the clamped [h0-eh, h0+qt+eh) key band
     skips most of the masked-dense waste the roofline analysis measured
     (28.4x executed flops at 16x16 e=(3,1,1) full-frame; 10.7x at qt=4).
-    Preference order: the narrowest band whose M dim still fills the MXU
-    sublane tile (qt*W >= 128... larger qts), then wider bands, then the
-    unbanded whole frame. Returns the winning qt (== height means
-    unbanded)."""
+    Preference order per `_band_candidates`. Returns the winning qt
+    (== height means unbanded)."""
     fits = fits_vmem_allframes_bwd if bwd else fits_vmem_allframes
-    cands = [
-        qt for qt in (2, 4, 8, 16, 32, 64)
-        if qt < height and height % qt == 0
-    ]
-    # narrow first among full-M tiles, then the remaining narrow tiles
-    full_m = [qt for qt in cands if qt * width >= 128]
-    rest = [qt for qt in cands if qt * width < 128]
-    for qt in full_m + rest[::-1] + [height]:
+    for qt in _band_candidates(height, width, extents[1]):
         if fits(seq, height, width, extents, dh, itemsize, qt):
             return qt
     return None
@@ -353,6 +370,12 @@ def _mask_band(seq, height, width, extents, f, h0, qt, lo, hi):
         & (frame >= 0)
         & (frame < seq)
     )
+
+
+def _mask_block(seq, height, width, extents, s):
+    """(HW, Ts*HW) bool valid-mask for query frame s — the unbanded
+    special case of `_mask_band` (used by the fused whole-block kernel)."""
+    return _mask_band(seq, height, width, extents, s, 0, height, 0, height)
 
 
 def _attn_kernel_allframes(
@@ -911,8 +934,9 @@ def _dispatch(full_fn, tiled_fn, q, *rest_and_args):
     *rest, extents, heads, interpret = rest_and_args
     b, s, h, w, inner = q.shape
     dh = inner // heads
-    if fits_vmem(s, h, w, extents, dh):
-        return full_fn(q, *rest, extents, heads, interpret)
+    qt = pick_frame_band(s, h, w, extents, dh)
+    if qt is not None:
+        return full_fn(q, *rest, extents, heads, interpret, qt)
     th = pick_h_tile(s, h, w, extents, dh)
     if th is None:
         raise ValueError(
@@ -922,32 +946,12 @@ def _dispatch(full_fn, tiled_fn, q, *rest_and_args):
     return tiled_fn(q, *rest, extents, heads, interpret, th)
 
 
-def _mask_block(seq, height, width, extents, s):
-    """(HW, Ts*HW) bool valid-mask for query frame s (in-register)."""
-    es, eh, ew = extents
-    hw = height * width
-    ts = 2 * es + 1
-    qi = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (hw, ts * hw), 1)
-    hq, wq = qi // width, qi % width
-    ds = kj // hw
-    rem = kj % hw
-    hk, wk = rem // width, rem % width
-    frame = s + ds - es
-    return (
-        (jnp.abs(hq - hk) <= eh)
-        & (jnp.abs(wq - wk) <= ew)
-        & (frame >= 0)
-        & (frame < seq)
-    )
-
-
 def _bwd_kernel(
     *refs, seq: int, height: int, width: int,
-    extents: Tuple[int, int, int], dh: int
+    extents: Tuple[int, int, int], dh: int, qt: int
 ):
     """Recompute attention for one (z, s) and emit dQ plus per-offset
-    partial dK/dV slabs."""
+    partial dK/dV slabs, one banded query row tile at a time."""
     es, eh, ew = extents
     hw = height * width
     ts = 2 * es + 1
@@ -961,40 +965,52 @@ def _bwd_kernel(
     dk_ref = refs[3 + 2 * ts]
     dv_ref = refs[4 + 2 * ts]
 
-    q = q_ref[0, 0]  # (HW, dh) input dtype; f32 accumulate below
-    k = jnp.concatenate([r[0, 0] for r in k_refs], axis=0)  # (Ts*HW, dh)
-    v = jnp.concatenate([r[0, 0] for r in v_refs], axis=0)
-    g = g_ref[0, 0]  # (HW, dh) upstream gradient
-
     scale = dh**-0.5
-    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    ok = _mask_block(seq, height, width, extents, s)
-    scores = jnp.where(ok, scores, NEG_INF)
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    attn = p / jnp.sum(p, axis=-1, keepdims=True)  # (HW, Ts*HW) f32
+    dk_slabs = [jnp.zeros((hw, dh), jnp.float32) for _ in range(ts)]
+    dv_slabs = [jnp.zeros((hw, dh), jnp.float32) for _ in range(ts)]
+    for h0 in range(0, height, qt):
+        lo, hi = _band_bounds(height, eh, h0, qt)
+        bw = (hi - lo) * width
+        q = q_ref[0, 0, h0 * width : (h0 + qt) * width]
+        g = g_ref[0, 0, h0 * width : (h0 + qt) * width]
+        k = jnp.concatenate(
+            [r[0, 0, lo * width : hi * width] for r in k_refs], axis=0
+        )  # (Ts*band*W, dh)
+        v = jnp.concatenate(
+            [r[0, 0, lo * width : hi * width] for r in v_refs], axis=0
+        )
 
-    # softmax backward: dS = P * (dP - rowsum(dP * P))
-    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-    row = jnp.sum(dp * attn, axis=-1, keepdims=True)
-    dscores = attn * (dp - row)  # (HW, Ts*HW) f32, zero where masked
-    ds_lo = dscores.astype(q.dtype)  # bf16 operands for the MXU passes
-    at_lo = attn.astype(g.dtype)
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        ok = _mask_band(seq, height, width, extents, s, h0, qt, lo, hi)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        attn = p / jnp.sum(p, axis=-1, keepdims=True)
 
-    dq_ref[0, 0] = (
-        jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
-    ).astype(dq_ref.dtype)
-    dk_cat = (
-        jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32) * scale
-    )  # (Ts*HW, dh)
-    dv_cat = jnp.dot(
-        at_lo.T, g, preferred_element_type=jnp.float32
-    )  # (Ts*HW, dh)
-    dk_ref[0, 0] = dk_cat.reshape(ts, hw, dh).astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv_cat.reshape(ts, hw, dh).astype(dv_ref.dtype)
+        # softmax backward: dS = P * (dP - rowsum(dP * P))
+        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * attn, axis=-1, keepdims=True)
+        dscores = attn * (dp - row)  # f32, zero where masked
+        ds_lo = dscores.astype(q.dtype)  # bf16 operands for the MXU passes
+        at_lo = attn.astype(g.dtype)
+
+        dq_ref[0, 0, h0 * width : (h0 + qt) * width] = (
+            jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dk_band = (
+            jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32) * scale
+        ).reshape(ts, bw, dh)
+        dv_band = jnp.dot(
+            at_lo.T, g, preferred_element_type=jnp.float32
+        ).reshape(ts, bw, dh)
+        for j in range(ts):
+            dk_slabs[j] = _band_add(dk_slabs[j], dk_band[j], lo * width)
+            dv_slabs[j] = _band_add(dv_slabs[j], dv_band[j], lo * width)
+    dk_ref[0, 0] = jnp.stack(dk_slabs).astype(dk_ref.dtype)
+    dv_ref[0, 0] = jnp.stack(dv_slabs).astype(dv_ref.dtype)
 
 
-def _bwd_impl(q, k, v, g, extents, heads, interpret):
+def _bwd_impl(q, k, v, g, extents, heads, interpret, qt=None):
     es, eh, ew = extents
     b, s, h, w, inner = q.shape
     dh = inner // heads
@@ -1025,8 +1041,10 @@ def _bwd_impl(q, k, v, g, extents, heads, interpret):
         memory_space=pltpu.VMEM,
     )
 
+    qt = h if qt is None else qt
     kernel = functools.partial(
-        _bwd_kernel, seq=s, height=h, width=w, extents=extents, dh=dh
+        _bwd_kernel, seq=s, height=h, width=w, extents=extents, dh=dh,
+        qt=qt,
     )
     dq, dk_part, dv_part = pl.pallas_call(
         kernel,
