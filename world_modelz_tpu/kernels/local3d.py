@@ -643,6 +643,36 @@ def _tiled_masks(
     )
 
 
+def _tiled_masks_banded(
+    seq, height, width, extents, th, s, iq
+):
+    """(TH*W, Ts*(TH+2eh)*W) bool valid-mask for query tile iq of frame s
+    against the clamped key row band (the first TH+2eh padded rows of each
+    offset's two-slab pair)."""
+    es, eh, ew = extents
+    ts = 2 * es + 1
+    band = th + 2 * eh
+    rows_q = th * width
+    rows_k = ts * band * width
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_k), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_k), 1)
+    hq = iq * th + qi // width
+    wq = qi % width
+    slab = kj // (band * width)  # frame offset index
+    within = kj % (band * width)
+    hk = iq * th + within // width - eh  # absolute key row
+    wk = within % width
+    frame = s + slab - es
+    return (
+        (jnp.abs(hq - hk) <= eh)
+        & (jnp.abs(wq - wk) <= ew)
+        & (hk >= 0)
+        & (hk < height)
+        & (frame >= 0)
+        & (frame < seq)
+    )
+
+
 def _attn_kernel_tiled(
     *refs, seq: int, height: int, width: int,
     extents: Tuple[int, int, int], dh: int, th: int
@@ -652,6 +682,7 @@ def _attn_kernel_tiled(
     s = pl.program_id(1)
     iq = pl.program_id(2)
     rows_q = th * width
+    band = th + 2 * eh  # key rows actually attended per frame offset
 
     q_ref = refs[0]
     k_refs = refs[1 : 1 + 2 * ts]
@@ -659,16 +690,30 @@ def _attn_kernel_tiled(
     o_ref = refs[1 + 4 * ts]
 
     q = q_ref[0, 0].reshape(rows_q, dh)  # input dtype; f32 accumulate below
-    k = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh) for r in k_refs], axis=0
-    )  # (Ts*2*TH*W, dh)
-    v = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh) for r in v_refs], axis=0
-    )
+
+    def banded(slab_refs):
+        # the queries of tile iq (padded rows [iq*th+eh, (iq+1)*th+eh))
+        # reach only padded rows [iq*th, iq*th + th + 2eh) — the first
+        # `band` rows of the offset's two loaded TH-row slabs; dotting
+        # beyond that is pure masked waste
+        parts = []
+        for ds in range(ts):
+            pair = jnp.concatenate(
+                [
+                    slab_refs[2 * ds][0, 0].reshape(rows_q, dh),
+                    slab_refs[2 * ds + 1][0, 0].reshape(rows_q, dh),
+                ],
+                axis=0,
+            )
+            parts.append(pair[: band * width])
+        return jnp.concatenate(parts, axis=0)  # (Ts*band*W, dh)
+
+    k = banded(k_refs)
+    v = banded(v_refs)
 
     scale = dh**-0.5
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    ok = _tiled_masks(seq, height, width, extents, th, s, iq)
+    ok = _tiled_masks_banded(seq, height, width, extents, th, s, iq)
     scores = jnp.where(ok, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -733,9 +778,9 @@ def _fwd_impl_tiled(q, k, v, extents, heads, interpret, th):
         out_shape=jax.ShapeDtypeStruct((z, s, h, w, dh), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * z * s * h * w * ts * 2 * th * w * dh,
+            flops=4 * z * s * h * w * ts * (th + 2 * eh) * w * dh,
             bytes_accessed=4 * z * s * h * w * dh * 4,
-            transcendentals=z * s * h * w * ts * 2 * th * w,
+            transcendentals=z * s * h * w * ts * (th + 2 * eh) * w,
         ),
     )(qz, *([kz_p] * len(slabs)), *([vz_p] * len(slabs)))
 
