@@ -443,6 +443,35 @@ def test_allframes_route_selection():
     assert pick_allframes_band(32, 64, 64, (3, 1, 1), 128, 2) is None
 
 
+def test_per_frame_banded_fwd_bwd_parity(rng):
+    """Banded per-frame-grid kernels match the XLA golden (clamped edge
+    bands + banded dK/dV slab accumulation)."""
+    from world_modelz_tpu.kernels.local3d import _bwd_impl, _fwd_impl
+
+    extents, heads = (2, 1, 1), 2
+    b, s, h, w, inner = 2, 3, 8, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+
+    ref = local3d_attention(q, k, v, extents, heads)
+    _, vjp = jax.vjp(
+        lambda q, k, v: local3d_attention(q, k, v, extents, heads), q, k, v
+    )
+    grads_ref = vjp(g)
+    for qt in (None, 4, 2):
+        out = _fwd_impl(q, k, v, extents, heads, True, qt)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+        grads = _bwd_impl(q, k, v, g, extents, heads, True, qt)
+        for a, b_ in zip(grads, grads_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+            )
+
+
 def test_allframes_banded_fwd_bwd_parity(rng):
     """Banded all-frames kernels (every qt) match the XLA golden, including
     clamped edge bands and the static-concat dK/dV accumulation."""
