@@ -123,9 +123,12 @@ def pick_h_tile(
 def kernel_supported(
     seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
 ) -> bool:
-    """True when either the full-frame or the H-tiled Pallas path applies."""
-    return fits_vmem(seq, height, width, extents, dh) or (
-        pick_h_tile(seq, height, width, extents, dh) is not None
+    """True when some Pallas path applies: a (possibly banded) per-frame
+    grid or the H-tiled variant. (The all-frames route implies the
+    per-frame one — its whole-clip working set is strictly larger.)"""
+    return (
+        pick_frame_band(seq, height, width, extents, dh) is not None
+        or pick_h_tile(seq, height, width, extents, dh) is not None
     )
 
 
