@@ -81,18 +81,30 @@ def executed_attn_flops(cfg: dict) -> tuple[int, str] | None:
     hw = h * w
     dh = inner  # benched heads=1
     ext = (es, 1, 1)
-    if K.fits_vmem_allframes(s, h, w, ext, dh):  # f32 bench operands
-        keys = ts * hw
-        fl = 2 * 2 * (b * s * hw) * keys * dh
-        return fl, f"all-frames: {keys} keys/query masked-dense"
-    if K.fits_vmem(s, h, w, ext, dh):
-        keys = ts * hw
-        fl = 2 * 2 * (b * s * hw) * keys * dh
-        return fl, f"per-frame: {keys} keys/query masked-dense"
+    eh = 1
+
+    def banded(qt, tag):
+        # exact executed work across tiles: edge tiles have clamped
+        # (smaller) key bands
+        dots = 0
+        for h0 in range(0, h, qt):
+            lo, hi = max(0, h0 - eh), min(h, h0 + qt + eh)
+            dots += (qt * w) * (ts * (hi - lo) * w)
+        fl = 2 * 2 * b * s * dots * dh
+        keys = round(dots / hw)
+        band_tag = f" qt={qt}" if qt < h else ""
+        return fl, f"{tag}{band_tag}: ~{keys} keys/query masked-dense"
+
+    qt = K.pick_allframes_band(s, h, w, ext, dh, 4)  # f32 bench operands
+    if qt is not None:
+        return banded(qt, "all-frames")
+    qt = K.pick_frame_band(s, h, w, ext, dh)
+    if qt is not None:
+        return banded(qt, "per-frame")
     th = K.pick_h_tile(s, h, w, ext, dh)
     if th is None:
         return None
-    keys = ts * 2 * th * w
+    keys = ts * (th + 2 * eh) * w  # banded tiled forward
     fl = 2 * 2 * (b * s * hw) * keys * dh
     return fl, f"H-tiled th={th}: {keys} keys/query masked-dense"
 

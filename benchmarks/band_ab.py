@@ -23,7 +23,7 @@ from world_modelz_tpu.utils.profiling import benchmark_chained
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    p.add_argument("--shape", default="m3", choices=["m3", "s32"])
+    p.add_argument("--shape", default="m3", choices=["m3", "s32", "g8"])
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -43,6 +43,9 @@ def main():
     item = jnp.dtype(dtype).itemsize
     if args.shape == "m3":
         b, s, h, w, inner, heads = 8, 6, 16, 16, 128, 1
+    elif args.shape == "g8":
+        # the as-trained model-#3 configuration: batch 64, 8x8 token grid
+        b, s, h, w, inner, heads = 64, 6, 8, 8, 128, 1
     else:
         b, s, h, w, inner, heads = 2, 32, 16, 16, 128, 1
     extents = (3, 1, 1)

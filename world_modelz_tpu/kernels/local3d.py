@@ -69,18 +69,17 @@ def fits_vmem(
 
 def _band_candidates(height: int, width: int, eh: int):
     """qt preference order: narrowest band whose M dim still fills the
-    MXU sublane tile (qt*W >= 128), then wider fallbacks, then the
-    unbanded whole frame. Bands that cover the whole height anyway
-    (qt + 2eh >= height) save no flops and are excluded. Measured on v5e
-    (benchmarks/band_ab.py): at 16x16 e=(3,1,1) bf16, qt=8 beats qt=4
-    (full M wins over the extra flop cut) and both beat unbanded."""
-    cands = [
+    MXU sublane tile (qt*W >= 128), wider full-M bands, then the unbanded
+    whole frame. Bands with qt*W < 128 are NEVER candidates — measured on
+    v5e (benchmarks/band_ab.py): at 16x16 e=(3,1,1) bf16, qt=8 (M=128)
+    beats qt=4 (the M-starved tile loses more than the extra flop cut
+    gains) and both beat unbanded; at the as-trained 8x8 grid qt=4 (M=32)
+    is ~1.8x WORSE than unbanded. Bands that cover the whole height
+    anyway (qt + 2eh >= height) save no flops and are excluded too."""
+    return [
         qt for qt in (2, 4, 8, 16, 32, 64)
-        if qt + 2 * eh < height and height % qt == 0
-    ]
-    full_m = [qt for qt in cands if qt * width >= 128]
-    rest = [qt for qt in cands if qt * width < 128]
-    return full_m + rest[::-1] + [height]
+        if qt + 2 * eh < height and height % qt == 0 and qt * width >= 128
+    ] + [height]
 
 
 def pick_frame_band(
