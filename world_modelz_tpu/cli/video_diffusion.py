@@ -185,7 +185,9 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
                 worker_count=cfg.data_workers,
             )
             return lambda b: pipe.sample_batch(b), pipe
-        return lambda b: ds.sample_batch(rng, b), None
+        # uint8-native shipping; step_body / evaluate_and_save normalize
+        # on device (4x less relay traffic than float32 clips)
+        return lambda b: ds.sample_batch_u8(rng, b), None
     if cfg.data_pipeline == "grain":
         # the trajectory sources are streaming (no __len__/__getitem__), so
         # Grain's random-access sampler cannot index them; fail loudly
@@ -267,6 +269,8 @@ def evaluate_and_save(
     """Autoregressive rollout + decode + artifact writing
     (main2.py:59-146)."""
     frames = jnp.asarray(clip_fn(cfg.eval_batch_size))
+    if frames.dtype == jnp.uint8:  # uint8-native sources (see step_body)
+        frames = frames.astype(jnp.float32) / 255.0
     b, s, hh, ww, c = frames.shape
     tokens = tok.encode(
         tok_state, frames.reshape(b * s, hh, ww, c)
@@ -365,6 +369,8 @@ def train(cfg: VideoDiffusionConfig):
 
     # probe token-grid shape from one encoded clip (main2.py:399-404)
     probe = jnp.asarray(clip_fn(1))
+    if probe.dtype == jnp.uint8:
+        probe = probe.astype(jnp.float32) / 255.0
     _, s, hh, ww, c = probe.shape
     if c != tok.in_channels:
         raise ValueError(
