@@ -44,16 +44,20 @@ _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 def fits_vmem(
     seq: int, height: int, width: int, extents: Tuple[int, int, int],
-    dh: int, qt: int | None = None,
+    dh: int, qt: int | None = None, bwd: bool = False,
 ) -> bool:
     """Whether one full-frame grid program's working set fits the VMEM
     budget.
 
-    Per program: q/dq (HW, dh), k/v/dk/dv blocks (Ts*HW, dh), and two
-    score-sized f32 intermediates — (HW, Ts*HW) unbanded, or
-    (qt*W, Ts*band*W) with a `qt`-row query band. When this is False the
-    H-tiled variant takes over (`pick_h_tile`); only if that is also
-    impossible do callers fall back to XLA.
+    Forward per program: q + out (HW, dh), k/v blocks (Ts*HW, dh), and
+    two score-sized f32 intermediates — (HW, Ts*HW) unbanded, or
+    (qt*W, Ts*band*W) with a `qt`-row query band. The backward adds g,
+    dq, the f32 per-offset dK/dV slabs, and two low-precision score
+    casts — a substantially larger working set, which is why the fit is
+    direction-specific: at 32x32 e=(3,1,1) the BANDED FORWARD fits the
+    32-program per-frame grid while the backward must stay H-tiled.
+    When this is False the H-tiled variant takes over (`pick_h_tile`);
+    only if that is also impossible do callers fall back to XLA.
     """
     hw = height * width
     es, eh, _ = extents
@@ -61,10 +65,18 @@ def fits_vmem(
     qt = height if qt is None else qt
     rows_q = qt * width
     rows_k = ts * min(height, qt + 2 * eh) * width
-    score_bytes = rows_q * rows_k * 4 * 2
-    kv_bytes = ts * hw * dh * 4 * 4
-    q_bytes = hw * dh * 4 * 2
-    return score_bytes + kv_bytes + q_bytes <= _VMEM_BUDGET_BYTES
+    score_bytes = rows_q * rows_k * 4 * 2  # scores/p + attn (f32)
+    kv_bytes = ts * hw * dh * 4 * 2  # k, v
+    q_bytes = hw * dh * 4 * 2  # q + out
+    total = score_bytes + kv_bytes + q_bytes
+    if bwd:
+        total += (
+            hw * dh * 4 * 2  # g + dq
+            + ts * hw * dh * 4 * 2  # f32 dK/dV slab outputs
+            + rows_q * rows_k * 4 * 2  # dp + dscores
+            + rows_q * rows_k * 4 * 2  # ds_lo/at_lo casts (f32 headroom)
+        )
+    return total <= _VMEM_BUDGET_BYTES
 
 
 def _band_candidates(height: int, width: int, eh: int):
@@ -84,12 +96,12 @@ def _band_candidates(height: int, width: int, eh: int):
 
 def pick_frame_band(
     seq: int, height: int, width: int, extents: Tuple[int, int, int],
-    dh: int,
+    dh: int, bwd: bool = False,
 ) -> int | None:
     """Query row band for the per-frame grid kernels, or None if even the
     narrowest band exceeds VMEM (callers then try the H-tiled variant)."""
     for qt in _band_candidates(height, width, extents[1]):
-        if fits_vmem(seq, height, width, extents, dh, qt):
+        if fits_vmem(seq, height, width, extents, dh, qt, bwd):
             return qt
     return None
 
@@ -122,13 +134,18 @@ def pick_h_tile(
 def kernel_supported(
     seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
 ) -> bool:
-    """True when some Pallas path applies: a (possibly banded) per-frame
-    grid or the H-tiled variant. (The all-frames route implies the
-    per-frame one — its whole-clip working set is strictly larger.)"""
-    return (
+    """True when some Pallas path applies in BOTH directions: a (possibly
+    banded) per-frame grid or the H-tiled variant. (The all-frames route
+    implies the per-frame one — its working set is strictly larger.)"""
+    tiled = pick_h_tile(seq, height, width, extents, dh) is not None
+    fwd_ok = tiled or (
         pick_frame_band(seq, height, width, extents, dh) is not None
-        or pick_h_tile(seq, height, width, extents, dh) is not None
     )
+    bwd_ok = tiled or (
+        pick_frame_band(seq, height, width, extents, dh, bwd=True)
+        is not None
+    )
+    return fwd_ok and bwd_ok
 
 
 def _attn_kernel(
@@ -961,8 +978,8 @@ def _route_fwd(q, k, v, extents, heads, interpret):
     )
     if qt is not None:
         return _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt)
-    return _dispatch(_fwd_impl, _fwd_impl_tiled, q, k, v, extents, heads,
-                     interpret)
+    return _dispatch(_fwd_impl, _fwd_impl_tiled, False, q, k, v, extents,
+                     heads, interpret)
 
 
 def _route_bwd(q, k, v, g, extents, heads, interpret):
@@ -973,15 +990,15 @@ def _route_bwd(q, k, v, g, extents, heads, interpret):
     )
     if qt is not None:
         return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt)
-    return _dispatch(_bwd_impl, _bwd_impl_tiled, q, k, v, g, extents,
+    return _dispatch(_bwd_impl, _bwd_impl_tiled, True, q, k, v, g, extents,
                      heads, interpret)
 
 
-def _dispatch(full_fn, tiled_fn, q, *rest_and_args):
+def _dispatch(full_fn, tiled_fn, bwd, q, *rest_and_args):
     *rest, extents, heads, interpret = rest_and_args
     b, s, h, w, inner = q.shape
     dh = inner // heads
-    qt = pick_frame_band(s, h, w, extents, dh)
+    qt = pick_frame_band(s, h, w, extents, dh, bwd)
     if qt is not None:
         return full_fn(q, *rest, extents, heads, interpret, qt)
     th = pick_h_tile(s, h, w, extents, dh)
