@@ -444,3 +444,56 @@ def test_video_diffusion_cli_grain_pipeline(tmp_path):
     cfg2 = dataclasses.replace(cfg, checkpoint=ckpt, max_steps=8)
     train(cfg2)
     assert os.path.isdir(os.path.join(out, "step_0000008"))
+
+
+def test_video_diffusion_cli_device_composite(tmp_path):
+    """--device_composite: sprite trajectories cross host->device and the
+    jitted step composites frames (data/device_composite.py). Exercises
+    the dict-batch format through the fused k-step dispatch, eval rollout
+    and checkpointing."""
+    from world_modelz_tpu.cli.train_vqae import TrainVqaeConfig
+    from world_modelz_tpu.cli.train_vqae import train as train_vqae
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    tok_out = str(tmp_path / "tok1ch")
+    _state, info = train_vqae(TrainVqaeConfig(
+        dataset="moving_mnist", in_channels=1,
+        batch_size=8, image_size=32, max_steps=12, downscale_steps=2,
+        embedding_dim=8, hidden_planes=16, num_embeddings=32,
+        checkpoint_interval=12, vq_reuse_interval=6, log_interval=6,
+        output_dir=tok_out, name="t1",
+    ))
+    tokenizer_ckpt = info["checkpoint"]
+
+    out = str(tmp_path)
+    cfg = VideoDiffusionConfig(
+        dataset="moving_mnist", device_composite=True,
+        decoder_model=tokenizer_ckpt,
+        batch_size=8, n_past=2, image_size=32, digit_size=12,
+        max_steps=6, warmup=2, steps_per_dispatch=2,
+        dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16, dim_head=8,
+        heads=2, eval_interval=6, eval_timesteps=1, eval_batch_size=2,
+        num_eval_iterations=2, checkpoint_interval=6, log_interval=3,
+        output_dir=out, name="vdc",
+    )
+    train(cfg)
+    files = os.listdir(out)
+    assert any(f.startswith("step_") for f in files)
+    assert any(f.endswith("_base.png") for f in files)
+
+
+def test_video_diffusion_device_composite_rejects_grain(tokenizer_ckpt):
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    cfg = VideoDiffusionConfig(
+        dataset="moving_mnist", device_composite=True,
+        data_pipeline="grain", decoder_model=tokenizer_ckpt,
+    )
+    with pytest.raises(ValueError, match="device_composite"):
+        train(cfg)

@@ -223,3 +223,70 @@ def test_grain_pipeline_sharding_disjoint():
     seen1 = set(s1.sample_batch(16)[:, 0].tolist())
     assert seen0.isdisjoint(seen1)
     assert len(seen0 | seen1) == 32
+
+
+def test_device_composite_matches_host_compositor():
+    """composite_clips(traj) reproduces the host pixel path clip-for-clip
+    (same per-index RNG stream) within sprite quantization (sprites cross
+    the wire as uint8; frames additionally saturate at 1)."""
+    import jax.numpy as jnp
+
+    from world_modelz_tpu.data import composite_clips
+
+    ds = MovingMNIST(
+        seq_len=6, image_size=64, digit_size=24, num_digits=2,
+        deterministic=False,
+    )
+    traj = ds.sample_batch_traj(np.random.default_rng(5), 3)
+    pix = ds.sample_batch(np.random.default_rng(5), 3)
+    assert traj["sprites"].shape == (3, 2, 24, 24)
+    assert traj["pos"].shape == (3, 2, 6, 2)
+    out = np.asarray(
+        composite_clips(
+            jnp.asarray(traj["sprites"]), jnp.asarray(traj["pos"]), 64
+        )
+    )
+    assert out.shape == pix.shape
+    assert out.min() >= 0.0 and out.max() <= 1.0
+    # bound: two sprites, each quantized to 1/255 with <=0.5 rounding
+    assert float(np.abs(out - pix).max()) <= 2.0 / 255.0
+
+
+def test_device_composite_clips_offcanvas():
+    """Sprite regions outside the canvas are masked, matching the host
+    compositor's clipping (compositor.cpp composite_sprite)."""
+    import jax.numpy as jnp
+
+    from world_modelz_tpu.data import composite_clips
+
+    k, h = 4, 8
+    sprite = np.full((1, 1, k, k), 255, np.uint8)
+    # frame 0: hangs off top-left; frame 1: hangs off bottom-right
+    pos = np.asarray([[[[-2, -2], [6, 6]]]], np.int32)  # (1, 1, 2, 2)
+    out = np.asarray(
+        composite_clips(jnp.asarray(sprite), jnp.asarray(pos), h)
+    )[0, :, :, :, 0]
+    ref = np.zeros((2, h, h), np.float32)
+    ref[0, :2, :2] = 1.0
+    ref[1, 6:, 6:] = 1.0
+    np.testing.assert_allclose(out, ref)
+
+
+def test_as_frames_formats():
+    """as_frames: uint8 normalized, float passed through, dict composited."""
+    import jax.numpy as jnp
+
+    from world_modelz_tpu.data import as_frames
+
+    u8 = np.full((1, 2, 8, 8, 1), 128, np.uint8)
+    f = np.asarray(as_frames(u8, 8))
+    np.testing.assert_allclose(f, 128.0 / 255.0)
+    f32 = np.random.default_rng(0).random((1, 2, 8, 8, 1), np.float32)
+    np.testing.assert_allclose(np.asarray(as_frames(f32, 8)), f32)
+    traj = {
+        "sprites": jnp.full((1, 1, 2, 2), 255, jnp.uint8),
+        "pos": jnp.zeros((1, 1, 2, 2), jnp.int32),
+    }
+    out = np.asarray(as_frames(traj, 8))
+    assert out.shape == (1, 2, 8, 8, 1)
+    assert out[0, 0, 0, 0, 0] == 1.0 and out[0, 0, 4, 4, 0] == 0.0

@@ -41,6 +41,7 @@ from world_modelz_tpu.data import (
     PrefetchIterator,
     SyntheticTrajectorySource,
 )
+from world_modelz_tpu.data.device_composite import as_frames
 from world_modelz_tpu.diffusion import corrupt_tokens, rollout_frames
 from world_modelz_tpu.models.video import VqVideoDiffusionModel
 from world_modelz_tpu.parallel import (
@@ -93,6 +94,11 @@ class VideoDiffusionConfig:
     nan_guard: bool = True  # reject steps with non-finite loss/grads
 
     dataset: str = "moving_mnist"  # moving_mnist|synthetic|minerl|video
+    # ship sprite trajectories (~1 KB/clip) instead of pixel clips and
+    # composite frames inside the jitted step (data/device_composite.py):
+    # removes the dominant host->device relay transfer (moving_mnist,
+    # native pipeline only)
+    device_composite: bool = False
     # "native" = the in-repo samplers; "grain" = deterministic,
     # checkpointable Grain DataLoader (moving_mnist only; see
     # data/grain_pipeline.py)
@@ -185,6 +191,10 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
                 worker_count=cfg.data_workers,
             )
             return lambda b: pipe.sample_batch(b), pipe
+        if cfg.device_composite:
+            # trajectory shipping; step_body / evaluate_and_save composite
+            # on device (see data/device_composite.py)
+            return lambda b: ds.sample_batch_traj(rng, b), None
         # uint8-native shipping; step_body / evaluate_and_save normalize
         # on device (4x less relay traffic than float32 clips)
         return lambda b: ds.sample_batch_u8(rng, b), None
@@ -268,9 +278,7 @@ def evaluate_and_save(
 ):
     """Autoregressive rollout + decode + artifact writing
     (main2.py:59-146)."""
-    frames = jnp.asarray(clip_fn(cfg.eval_batch_size))
-    if frames.dtype == jnp.uint8:  # uint8-native sources (see step_body)
-        frames = frames.astype(jnp.float32) / 255.0
+    frames = as_frames(clip_fn(cfg.eval_batch_size), cfg.image_size)
     b, s, hh, ww, c = frames.shape
     tokens = tok.encode(
         tok_state, frames.reshape(b * s, hh, ww, c)
@@ -330,6 +338,14 @@ def train(cfg: VideoDiffusionConfig):
         jax.config.update("jax_platforms", cfg.platform)
     if not cfg.decoder_model:
         raise ValueError("--decoder_model (tokenizer checkpoint) is required")
+    if cfg.device_composite and (
+        cfg.dataset != "moving_mnist" or cfg.data_pipeline != "native"
+    ):
+        raise ValueError(
+            "--device_composite needs the procedural moving_mnist source "
+            "on the native pipeline (trajectories are a moving_mnist "
+            "concept; grain batches are pixel records)"
+        )
     mesh = make_mesh(n_model=cfg.n_model, n_seq=cfg.n_seq)
     n_data = mesh.shape["data"]
     if cfg.batch_size % n_data != 0:
@@ -368,9 +384,7 @@ def train(cfg: VideoDiffusionConfig):
         eval_clip_fn = clip_fn
 
     # probe token-grid shape from one encoded clip (main2.py:399-404)
-    probe = jnp.asarray(clip_fn(1))
-    if probe.dtype == jnp.uint8:
-        probe = probe.astype(jnp.float32) / 255.0
+    probe = as_frames(clip_fn(1), cfg.image_size)
     _, s, hh, ww, c = probe.shape
     if c != tok.in_channels:
         raise ValueError(
@@ -457,10 +471,9 @@ def train(cfg: VideoDiffusionConfig):
         single compiled program (steps_per_dispatch)."""
         params, ema_params, opt_state, sampler_state = carry
         frames, key = inp
-        if frames.dtype == jnp.uint8:
-            # raw uint8 batches cross host->device (4x less relay traffic
-            # than float32); normalize on device instead of on the host
-            frames = frames.astype(jnp.float32) / 255.0
+        # uint8 pixels are normalized, sprite trajectories composited, on
+        # device — the host ships the smallest representation it has
+        frames = as_frames(frames, cfg.image_size)
         b, s, hh, ww, c = frames.shape
         k_r, k_corrupt, k_drop = jax.random.split(key, 3)
 
@@ -544,7 +557,11 @@ def train(cfg: VideoDiffusionConfig):
         transfers still overlap compute); `keys` is (n, key). Returns the
         LAST substep's loss/grad-norm (that is the step the host logs) and
         the AND of the guard flags (any rejected substep surfaces)."""
-        frames_k = jnp.stack(frame_list)
+        # frame_list entries are pixel arrays OR trajectory dicts; stack
+        # leaf-wise so the scan carries either format
+        frames_k = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *frame_list
+        )
         carry, (losses, gns, oks) = jax.lax.scan(
             step_body,
             (params, ema_params, opt_state, sampler_state),
@@ -565,7 +582,11 @@ def train(cfg: VideoDiffusionConfig):
         # fused dispatches (steps_per_dispatch) drain k batches at once;
         # keep the worker at least one full dispatch ahead
         depth=max(2, cfg.steps_per_dispatch + 1),
-        sharding=clip_sharding(mesh),
+        # trajectory dicts have no frame axis to seq-shard; frames pick up
+        # their seq sharding inside the jitted step after compositing
+        sharding=batch_sharding(mesh)
+        if cfg.device_composite
+        else clip_sharding(mesh),
         # Grain position snapshots ride the queue with each batch so the
         # checkpoint sidecar records the CONSUMED position, not the
         # prefetched-ahead one (depth+1 batches would be skipped on resume)

@@ -6,6 +6,7 @@ compute (the reference's fill-thread double buffer, re-designed as a bounded
 queue — SURVEY.md §5 'race detection').
 """
 
+from world_modelz_tpu.data.device_composite import as_frames, composite_clips
 from world_modelz_tpu.data.moving_mnist import MovingMNIST
 from world_modelz_tpu.data.trajectory import (
     BufferedTrajectorySampler,
@@ -18,6 +19,8 @@ from world_modelz_tpu.data.prefetch import PrefetchIterator
 
 __all__ = [
     "MovingMNIST",
+    "as_frames",
+    "composite_clips",
     "BufferedTrajectorySampler",
     "SyncTrajectorySampler",
     "SyntheticTrajectorySource",

@@ -153,11 +153,12 @@ class MovingMNIST:
         self, rng: np.random.Generator
     ) -> tuple:
         """Bounce-dynamics integration (moving_mnist.py:59-88): returns the
-        sprite and its (seq_len, 2) (y, x) positions. Control flow stays in
-        Python; the O(T*K^2) compositing runs in the native kernel."""
+        sprite-bank index and the (seq_len, 2) (y, x) positions. Control
+        flow stays in Python; the O(T*K^2) compositing runs in the native
+        kernel (or on device, see data/device_composite.py)."""
         size, digit_size = self.image_size, self.digit_size
         lo, hi = -self.max_velocity, self.max_velocity + 1
-        digit = self.bank[rng.integers(len(self.bank))]
+        bank_idx = int(rng.integers(len(self.bank)))
         sx = int(rng.integers(size - digit_size))
         sy = int(rng.integers(size - digit_size))
         dx = int(rng.integers(lo, hi))
@@ -195,7 +196,7 @@ class MovingMNIST:
             pos[t] = (sy, sx)
             sy += dy
             sx += dx
-        return digit, pos
+        return bank_idx, pos
 
     def __getitem__(self, index: int) -> np.ndarray:
         from world_modelz_tpu.data import native
@@ -204,8 +205,8 @@ class MovingMNIST:
         size = self.image_size
         x = np.zeros((self.seq_len, size, size, 1), np.float32)
         for _ in range(self.num_digits):
-            digit, pos = self._digit_track(rng)
-            native.composite_sprite(x[..., 0], digit, pos)
+            bank_idx, pos = self._digit_track(rng)
+            native.composite_sprite(x[..., 0], self.bank[bank_idx], pos)
         native.clamp01(x)
         return x
 
@@ -224,3 +225,28 @@ class MovingMNIST:
         fused dispatch)."""
         x = self.sample_batch(rng, batch_size)
         return (x * 255.0 + 0.5).astype(np.uint8)
+
+    def sample_batch_traj(
+        self, rng: np.random.Generator, batch_size: int
+    ) -> dict:
+        """Trajectory batch for ON-DEVICE compositing: ~1 KB/clip instead
+        of ~45 KB of uint8 pixels — the remaining host->device relay
+        traffic after uint8 shipping. Same per-index RNG stream as
+        __getitem__, so traj(i) composited on device reproduces clip i
+        (within sprite quantization; see data/device_composite.py).
+
+        Returns {'sprites': (B, D, K, K) uint8, 'pos': (B, D, S, 2) int32}.
+        """
+        if not hasattr(self, "_bank_u8"):
+            self._bank_u8 = (self.bank * 255.0 + 0.5).astype(np.uint8)
+        idx = rng.integers(0, self.length, batch_size)
+        d, k = self.num_digits, self.digit_size
+        sprites = np.empty((batch_size, d, k, k), np.uint8)
+        pos = np.empty((batch_size, d, self.seq_len, 2), np.int32)
+        for i, index in enumerate(idx):
+            r = np.random.default_rng(int(index))
+            for j in range(d):
+                bank_idx, p = self._digit_track(r)
+                sprites[i, j] = self._bank_u8[bank_idx]
+                pos[i, j] = p
+        return {"sprites": sprites, "pos": pos}
