@@ -624,3 +624,31 @@ def test_block_supported_gating():
     assert block_supported(6, 16, 16, (3, 1, 1), 1, 128, 384, 384, 2)
     # minecraft/sber 32x32 grid blows the clip working set
     assert not block_supported(16, 32, 32, (3, 1, 1), 1, 128, 384, 384, 2)
+
+
+def test_local3d_tiled_banded_bwd_edge_band(rng):
+    """Banded H-tiled backward at band == 2*TH (eh == TH/2): the 2eh-row
+    band tail fills its whole TH-row fold buffer — the overlap edge case
+    of the banded partial format."""
+    from world_modelz_tpu.kernels.local3d import (
+        _bwd_impl_tiled,
+        _fwd_impl_tiled,
+    )
+
+    extents, heads = (1, 2, 1), 1
+    b, s, h, w, inner = 1, 3, 12, 4, 8
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+
+    def loss_ref(q, k, v):
+        out = local3d_attention(q, k, v, extents, heads)
+        return jnp.sum(out**2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    out = _fwd_impl_tiled(q, k, v, extents, heads, True, 4)
+    g_pal = _bwd_impl_tiled(q, k, v, 2.0 * out, extents, heads, True, 4)
+    for a, b_ in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )

@@ -633,35 +633,6 @@ def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt=None):
 # ---------------------------------------------------------------------------
 
 
-def _tiled_masks(
-    seq, height, width, extents, th, s, iq
-):
-    """(TH*W, Ts*2*TH*W) bool valid-mask for query tile iq of frame s."""
-    es, eh, ew = extents
-    ts = 2 * es + 1
-    rows_q = th * width
-    rows_k = ts * 2 * th * width
-    qi = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_k), 0)
-    kj = jax.lax.broadcasted_iota(jnp.int32, (rows_q, rows_k), 1)
-    hq = iq * th + qi // width
-    wq = qi % width
-    slab = kj // (2 * th * width)  # frame offset index
-    within = kj % (2 * th * width)
-    j = within // (th * width)  # which of the two H slabs
-    r = within % (th * width)
-    hk = (iq + j) * th + r // width - eh  # absolute key row
-    wk = r % width
-    frame = s + slab - es
-    return (
-        (jnp.abs(hq - hk) <= eh)
-        & (jnp.abs(wq - wk) <= ew)
-        & (hk >= 0)
-        & (hk < height)
-        & (frame >= 0)
-        & (frame < seq)
-    )
-
-
 def _tiled_masks_banded(
     seq, height, width, extents, th, s, iq
 ):
@@ -819,6 +790,7 @@ def _bwd_kernel_tiled(
     s = pl.program_id(1)
     iq = pl.program_id(2)
     rows_q = th * width
+    band = th + 2 * eh  # key rows actually attended per frame offset
 
     q_ref = refs[0]
     k_refs = refs[1 : 1 + 2 * ts]
@@ -829,17 +801,32 @@ def _bwd_kernel_tiled(
     dv_ref = refs[4 + 4 * ts]
 
     q = q_ref[0, 0].reshape(rows_q, dh)  # input dtype; f32 accumulate
-    k = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh) for r in k_refs], axis=0
-    )
-    v = jnp.concatenate(
-        [r[0, 0].reshape(rows_q, dh) for r in v_refs], axis=0
-    )
+
+    def banded(slab_refs):
+        # same key-row banding as the forward (_attn_kernel_tiled): tile
+        # iq's queries reach only the first TH+2eh padded rows of the
+        # offset's two loaded TH-row slabs — scores, dscores, dK and dV
+        # beyond that are pure masked waste (2TH/(TH+2eh)x executed-flop
+        # cut on all four MXU passes)
+        parts = []
+        for ds in range(ts):
+            pair = jnp.concatenate(
+                [
+                    slab_refs[2 * ds][0, 0].reshape(rows_q, dh),
+                    slab_refs[2 * ds + 1][0, 0].reshape(rows_q, dh),
+                ],
+                axis=0,
+            )
+            parts.append(pair[: band * width])
+        return jnp.concatenate(parts, axis=0)  # (Ts*band*W, dh)
+
+    k = banded(k_refs)
+    v = banded(v_refs)
     g = g_ref[0, 0].reshape(rows_q, dh)
 
     scale = dh**-0.5
     scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-    ok = _tiled_masks(seq, height, width, extents, th, s, iq)
+    ok = _tiled_masks_banded(seq, height, width, extents, th, s, iq)
     scores = jnp.where(ok, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -858,12 +845,12 @@ def _bwd_kernel_tiled(
     )
     dk_cat = (
         jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32) * scale
-    )  # (Ts*2*TH*W, dh)
+    )  # (Ts*band*W, dh)
     dv_cat = jnp.dot(at_lo.T, g, preferred_element_type=jnp.float32)
-    dk_ref[0, 0, 0] = dk_cat.reshape(2 * ts, th * width, dh).astype(
+    dk_ref[0, 0, 0] = dk_cat.reshape(ts, band * width, dh).astype(
         dk_ref.dtype
     )
-    dv_ref[0, 0, 0] = dv_cat.reshape(2 * ts, th * width, dh).astype(
+    dv_ref[0, 0, 0] = dv_cat.reshape(ts, band * width, dh).astype(
         dv_ref.dtype
     )
 
@@ -889,8 +876,9 @@ def _bwd_impl_tiled(q, k, v, g, extents, heads, interpret, th):
         lambda zz, ss, iq: (zz, ss, iq, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    band = th + 2 * eh
     part_spec = pl.BlockSpec(
-        (1, 1, 1, 2 * ts, th * w, dh),
+        (1, 1, 1, ts, band * w, dh),
         lambda zz, ss, iq: (zz, ss, iq, 0, 0, 0),
         memory_space=pltpu.VMEM,
     )
@@ -911,32 +899,43 @@ def _bwd_impl_tiled(q, k, v, g, extents, heads, interpret, th):
         out_shape=[
             jax.ShapeDtypeStruct((z, s, h, w, dh), q.dtype),
             jax.ShapeDtypeStruct(
-                (z, s, nq, 2 * ts, th * w, dh), jnp.float32
+                (z, s, nq, ts, band * w, dh), jnp.float32
             ),
             jax.ShapeDtypeStruct(
-                (z, s, nq, 2 * ts, th * w, dh), jnp.float32
+                (z, s, nq, ts, band * w, dh), jnp.float32
             ),
         ],
         interpret=interpret,
     )(qz, *([kz_p] * len(slabs)), *([vz_p] * len(slabs)), gz)
 
-    # fold the partial slabs back onto true (frame, row) coordinates.
-    # part[z, sq, iq, ds*2+j] is the contribution to padded key frame
-    # sq + ds (true frame sq + ds - es) at padded rows (iq+j)*TH..+TH.
+    # fold the BANDED partial slabs back onto true (frame, row)
+    # coordinates. part[z, sq, iq, ds] is the contribution to padded key
+    # frame sq + ds (true frame sq + ds - es) at padded rows
+    # iq*TH .. iq*TH + band (band = TH + 2eh; consecutive query tiles'
+    # bands overlap by 2eh rows).
     def fold(part):
-        part = part.reshape(z, s, nq, ts, 2, th, w, dh)
+        part = part.reshape(z, s, nq, ts, band, w, dh)
         # frames: diagonal shift-sum identical to the untiled fold
         padded = jnp.pad(
-            part, ((0, 0), (es, es)) + ((0, 0),) * 6
+            part, ((0, 0), (es, es)) + ((0, 0),) * 5
         )
-        t_sum = jnp.zeros((z, s, nq, 2, th, w, dh), jnp.float32)
+        t_sum = jnp.zeros((z, s, nq, band, w, dh), jnp.float32)
         for ds in range(ts):
             t_sum = t_sum + padded[:, ds : ds + s, :, ts - 1 - ds]
-        # rows: slab j of query tile iq lands at padded row block iq + j
+        # rows: split each band into its TH-row head (landing at iq*TH,
+        # contiguous across tiles) and its 2eh-row tail (landing at
+        # (iq+1)*TH, zero-extended to TH rows so tiles stay contiguous) —
+        # two vectorized adds instead of an nq-step scatter loop
         h_pad = jnp.zeros((z, s, h + th, w, dh), jnp.float32)
-        for j in range(2):
-            block = t_sum[:, :, :, j].reshape(z, s, nq * th, w, dh)
-            h_pad = h_pad.at[:, :, j * th : j * th + nq * th].add(block)
+        head = t_sum[:, :, :, :th].reshape(z, s, nq * th, w, dh)
+        h_pad = h_pad.at[:, :, : nq * th].add(head)
+        tail = (
+            jnp.zeros((z, s, nq, th, w, dh), jnp.float32)
+            .at[:, :, :, : 2 * eh]
+            .set(t_sum[:, :, :, th:])
+            .reshape(z, s, nq * th, w, dh)
+        )
+        h_pad = h_pad.at[:, :, th : th + nq * th].add(tail)
         return h_pad[:, :, eh : eh + h]
 
     dkz = fold(dk_part).astype(k.dtype)
