@@ -166,3 +166,26 @@ def test_serve_error_propagates_and_close_rejects(stack):
             bad.result(timeout=120)
     with pytest.raises(RuntimeError):
         svc.submit(np.zeros((S, IMG, IMG, C), np.float32))
+
+
+def test_serve_deadline_sheds_stale_requests(stack):
+    """A request whose queue deadline passes resolves to TimeoutError and
+    never occupies a batch row; live requests are unaffected."""
+    rng = np.random.default_rng(3)
+    clip = rng.uniform(size=(S, IMG, IMG, C)).astype(np.float32)
+    with _service(stack, max_wait_s=0.01) as svc:
+        # warm the size-1 program so timing below isn't compile-dominated
+        svc.submit(clip).result(timeout=300)
+
+        # block the worker with a long-wait batch, then pile up: one
+        # already-expired request and one without a deadline
+        gate = svc.submit(clip)
+        expired = svc.submit(clip, timeout_s=0.0)
+        live = svc.submit(clip)
+        with pytest.raises(TimeoutError):
+            expired.result(timeout=120)
+        assert live.result(timeout=120).shape == (2, IMG, IMG, C)
+        assert gate.result(timeout=120).shape == (2, IMG, IMG, C)
+    assert svc.stats["expired"] == 1
+    # the expired request must not have been padded into a program
+    assert svc.stats["requests"] == 3

@@ -145,3 +145,23 @@ def test_http_error_paths(server):
             timeout=30,
         )
     assert ei.value.code == 404
+
+
+def test_http_queue_timeout(server):
+    # generous deadline: request completes normally
+    out = http_generate(_url(server), _clip(5), timeout=300,
+                        queue_timeout_s=600.0)
+    assert out.shape == (2, IMG, IMG, C)
+    # malformed header (valid body) -> 400 naming the header
+    import io
+
+    buf = io.BytesIO()
+    np.save(buf, _clip(6))
+    req = urllib.request.Request(
+        f"{_url(server)}/v1/generate", data=buf.getvalue(), method="POST",
+        headers={"X-Timeout-S": "soon"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+    assert "X-Timeout-S" in ei.value.read().decode()

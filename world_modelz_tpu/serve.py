@@ -138,6 +138,7 @@ class RolloutService:
             "padded_rows": 0,  # rows wasted on padding
             "encoded_clips": 0,  # pixel seed clips pushed through encode
             "session_rows": 0,  # rows served from cached token contexts
+            "expired": 0,  # requests shed at their queue deadline
         }
 
         k = tok.num_embeddings
@@ -182,9 +183,19 @@ class RolloutService:
 
     # ------------------------------------------------------------------ API
 
-    def submit(self, seed_clip: np.ndarray) -> Future:
-        """Enqueue one (S, H, W, C) seed clip; resolves to (T, H, W, C)."""
-        return self._enqueue(("pixels", np.asarray(seed_clip), None))
+    def submit(
+        self, seed_clip: np.ndarray, timeout_s: Optional[float] = None
+    ) -> Future:
+        """Enqueue one (S, H, W, C) seed clip; resolves to (T, H, W, C).
+
+        With `timeout_s`, a request still queued when its deadline passes
+        resolves to a `TimeoutError` instead of occupying a batch row —
+        under overload the service sheds stale work rather than serving
+        every request late (`stats["expired"]` counts shed requests).
+        """
+        return self._enqueue(
+            ("pixels", np.asarray(seed_clip), None), timeout_s
+        )
 
     def open_session(self, seed_clip: np.ndarray) -> RolloutSession:
         """Encode the seed clip once; stream segments via the session."""
@@ -213,21 +224,40 @@ class RolloutService:
     def _submit_tokens(self, ctx: np.ndarray, session: RolloutSession) -> Future:
         return self._enqueue(("tokens", np.asarray(ctx), session))
 
-    def _enqueue(self, item) -> Future:
+    def _enqueue(self, item, timeout_s: Optional[float] = None) -> Future:
         fut: Future = Future()
+        deadline = _now() + timeout_s if timeout_s is not None else None
         # the lock makes closed-check + enqueue atomic w.r.t. close(): no
         # request can land behind the shutdown signal and starve its future
         with self._lifecycle:
             if self._closed:
                 raise RuntimeError("service is closed")
-            self._queue.put((item, fut))
+            self._queue.put((item, fut, deadline))
         return fut
 
+    def _expired(self, entry) -> bool:
+        """Resolve a past-deadline queued request; True if it was shed.
+        (Once a request makes it into a running batch it always completes —
+        the deadline bounds QUEUE time, the controllable part.)"""
+        _item, fut, deadline = entry
+        if deadline is None or _now() < deadline:
+            return False
+        if not fut.cancelled():
+            fut.set_exception(
+                TimeoutError("request expired before a batch slot opened")
+            )
+        self.stats["expired"] += 1
+        return True
+
     def _take_batch(self):
-        """Block for the first request, then coalesce up to batch_size."""
-        first = self._queue.get()
-        if first is None:
-            return None
+        """Block for the first live request, then coalesce up to
+        batch_size, shedding requests whose queue deadline has passed."""
+        while True:
+            first = self._queue.get()
+            if first is None:
+                return None
+            if not self._expired(first):
+                break
         batch = [first]
         deadline = _now() + self._max_wait_s
         while len(batch) < self._batch_size:
@@ -235,13 +265,14 @@ class RolloutService:
             if timeout <= 0:
                 break
             try:
-                item = self._queue.get(timeout=timeout)
+                entry = self._queue.get(timeout=timeout)
             except queue.Empty:
                 break
-            if item is None:
+            if entry is None:
                 self._queue.put(None)  # keep the shutdown signal
                 break
-            batch.append(item)
+            if not self._expired(entry):
+                batch.append(entry)
         return batch
 
     def _prog_size(self, n: int) -> int:
@@ -255,8 +286,8 @@ class RolloutService:
             batch = self._take_batch()
             if batch is None:
                 return
-            items = [it for it, _ in batch]
-            futs = [f for _, f in batch]
+            items = [it for it, _f, _d in batch]
+            futs = [f for _it, f, _d in batch]
             try:
                 n = len(items)
                 size = self._prog_size(n)

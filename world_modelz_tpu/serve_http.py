@@ -218,8 +218,21 @@ class _Handler(BaseHTTPRequestHandler):
             seed = self._read_array()
             if seed is None:
                 return
+            # optional queue deadline (seconds): under overload the
+            # service sheds the request instead of serving it late
+            timeout_s = None
+            hdr = self.headers.get("X-Timeout-S")
+            if hdr:
+                try:
+                    timeout_s = float(hdr)
+                except ValueError:
+                    return self._error(400, f"bad X-Timeout-S: {hdr!r}")
             try:
-                out = self.fe.service.submit(seed).result()
+                out = self.fe.service.submit(seed, timeout_s).result()
+            except TimeoutError:
+                return self._error(
+                    503, "request expired in queue (X-Timeout-S deadline)"
+                )
             except Exception as e:
                 return self._error(503, f"rollout failed: {e}")
             return self._npy(out)
@@ -272,12 +285,15 @@ class _Handler(BaseHTTPRequestHandler):
 def _request(
     url: str, method: str = "GET", body: Optional[bytes] = None,
     ctype: Optional[str] = None, timeout: float = 600.0,
+    headers: Optional[dict] = None,
 ):
     import urllib.request
 
     req = urllib.request.Request(url, data=body, method=method)
     if ctype:
         req.add_header("Content-Type", ctype)
+    for k, v in (headers or {}).items():
+        req.add_header(k, v)
     with urllib.request.urlopen(req, timeout=timeout) as resp:
         payload = resp.read()
         if resp.headers.get("Content-Type") == NPY_CONTENT_TYPE:
@@ -286,12 +302,22 @@ def _request(
 
 
 def http_generate(
-    base_url: str, seed_clip: np.ndarray, timeout: float = 600.0
+    base_url: str, seed_clip: np.ndarray, timeout: float = 600.0,
+    queue_timeout_s: Optional[float] = None,
 ) -> np.ndarray:
-    """One-shot generate against a running front-end."""
+    """One-shot generate against a running front-end.
+
+    `queue_timeout_s` sets the server-side queue deadline (X-Timeout-S);
+    an expired request gets a 503 instead of a late result.
+    """
     return _request(
         f"{base_url}/v1/generate", "POST", _npy_bytes(seed_clip),
         NPY_CONTENT_TYPE, timeout,
+        headers=(
+            {"X-Timeout-S": str(queue_timeout_s)}
+            if queue_timeout_s is not None
+            else None
+        ),
     )
 
 
