@@ -497,3 +497,31 @@ def test_video_diffusion_device_composite_rejects_grain(tokenizer_ckpt):
     )
     with pytest.raises(ValueError, match="device_composite"):
         train(cfg)
+
+
+def test_train_vqae_grain_pipeline_resume(tmp_path):
+    """--data_pipeline grain on the tokenizer trainer: deterministic
+    record stream whose position rides checkpoints as a sidecar and
+    restores on resume."""
+    import json
+
+    from world_modelz_tpu.cli.train_vqae import TrainVqaeConfig, train
+
+    out = str(tmp_path)
+    cfg = TrainVqaeConfig(
+        dataset="moving_mnist", data_pipeline="grain", in_channels=1,
+        batch_size=8, image_size=32, max_steps=6, downscale_steps=2,
+        embedding_dim=8, hidden_planes=16, num_embeddings=32,
+        checkpoint_interval=3, vq_reuse_interval=0, log_interval=3,
+        output_dir=out, name="tg",
+    )
+    train(cfg)
+    sidecar = os.path.join(out, "step_0000003", "grain_state.json")
+    assert os.path.isfile(sidecar)
+    json.loads(open(sidecar, "rb").read())  # grain state is JSON bytes
+
+    cfg2 = dataclasses.replace(
+        cfg, checkpoint=os.path.join(out, "step_0000003"), max_steps=9
+    )
+    train(cfg2)
+    assert os.path.isdir(os.path.join(out, "step_0000009"))

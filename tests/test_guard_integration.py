@@ -47,10 +47,13 @@ def test_train_vqae_rejects_nan_batches(monkeypatch, tmp_path):
     import world_modelz_tpu.cli.train_vqae as mod
 
     def nan_batch_fn(cfg, seed):
-        return lambda: np.full(
-            (cfg.batch_size, cfg.image_size, cfg.image_size, 3),
-            np.nan,
-            np.float32,
+        return (
+            lambda: np.full(
+                (cfg.batch_size, cfg.image_size, cfg.image_size, 3),
+                np.nan,
+                np.float32,
+            ),
+            None,
         )
 
     monkeypatch.setattr(mod, "build_batch_fn", nan_batch_fn)
@@ -71,10 +74,13 @@ def test_train_vqae_unguarded_poisons(monkeypatch, tmp_path):
     import world_modelz_tpu.cli.train_vqae as mod
 
     def nan_batch_fn(cfg, seed):
-        return lambda: np.full(
-            (cfg.batch_size, cfg.image_size, cfg.image_size, 3),
-            np.nan,
-            np.float32,
+        return (
+            lambda: np.full(
+                (cfg.batch_size, cfg.image_size, cfg.image_size, 3),
+                np.nan,
+                np.float32,
+            ),
+            None,
         )
 
     monkeypatch.setattr(mod, "build_batch_fn", nan_batch_fn)

@@ -14,6 +14,7 @@ input pipeline prefetches host batches to device.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from functools import partial
 from typing import Callable, Tuple
@@ -74,6 +75,11 @@ class TrainVqaeConfig:
     in_channels: int = 3
 
     dataset: str = "synthetic"  # synthetic|moving_mnist|files
+    # "native" = in-repo samplers; "grain" = deterministic, checkpointable
+    # record stream (moving_mnist/files — the random-access sources); the
+    # iterator position rides each checkpoint and restores on resume
+    data_pipeline: str = "native"
+    data_workers: int = 0  # grain worker processes (0 = in-process)
     image_size: int = 64
     file_list_fn: str = "file_list.json"
     image_dir_path: str = ""
@@ -93,22 +99,50 @@ class TrainVqaeConfig:
     checkpoint: str = ""  # resume path
 
 
-def build_batch_fn(
-    cfg: TrainVqaeConfig, seed: int
-) -> Callable[[], np.ndarray]:
-    """Host batch source -> (B, H, W, C) float32 in [0,1]."""
+def build_batch_fn(cfg: TrainVqaeConfig, seed: int):
+    """Host batch source -> ((() -> (B, H, W, C) float32 in [0,1]),
+    checkpointable-pipeline-or-None)."""
     rng = np.random.default_rng(seed)
+    if cfg.data_pipeline == "grain":
+        # deterministic, checkpointable record stream over the
+        # random-access sources (see data/grain_pipeline.py)
+        from world_modelz_tpu.data.grain_pipeline import GrainClipPipeline
+
+        if cfg.dataset == "moving_mnist":
+            ds = MovingMNIST(
+                seq_len=1, image_size=cfg.image_size, digit_size=24,
+                num_digits=2,
+            )
+            pipe = GrainClipPipeline(
+                ds, cfg.batch_size, seed=seed,
+                worker_count=cfg.data_workers,
+            )
+            return lambda: pipe.sample_batch()[:, 0], pipe
+        if cfg.dataset == "files":
+            files = load_file_list(
+                cfg.file_list_fn, cfg.image_dir_path, cfg.image_fn_regex
+            )
+            ds = FileListImageDataset(files, cfg.batch_size, seed=seed)
+            pipe = GrainClipPipeline(
+                ds, cfg.batch_size, seed=seed,
+                worker_count=cfg.data_workers,
+            )
+            return pipe.sample_batch, pipe
+        raise ValueError(
+            f"--data_pipeline grain is not supported for dataset "
+            f"{cfg.dataset!r} (random-access sources only)"
+        )
     if cfg.dataset == "moving_mnist":
         ds = MovingMNIST(
             seq_len=1, image_size=cfg.image_size, digit_size=24, num_digits=2
         )
-        return lambda: ds.sample_batch(rng, cfg.batch_size)[:, 0]
+        return lambda: ds.sample_batch(rng, cfg.batch_size)[:, 0], None
     if cfg.dataset == "files":
         files = load_file_list(
             cfg.file_list_fn, cfg.image_dir_path, cfg.image_fn_regex
         )
         ds = FileListImageDataset(files, cfg.batch_size, seed=seed)
-        return ds.next_batch
+        return ds.next_batch, None
     if cfg.dataset == "synthetic":
         src = SyntheticTrajectorySource(
             num_trajectories=32, traj_frames=64, frame_size=cfg.image_size,
@@ -122,7 +156,7 @@ def build_batch_fn(
             idx = rng.integers(0, len(frames), cfg.batch_size)
             return frames[idx]
 
-        return sample
+        return sample, None
     raise ValueError(f"unknown dataset {cfg.dataset!r}")
 
 
@@ -270,9 +304,19 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
         vq, count = vq_reuse_inactive(state.vq)
         return state.replace(vq=vq_reset_stats(vq)), count
 
-    batch_fn = build_batch_fn(cfg, cfg.manual_seed)
+    batch_fn, pipeline = build_batch_fn(cfg, cfg.manual_seed)
+    if pipeline is not None and cfg.checkpoint:
+        gs = os.path.join(cfg.checkpoint, "grain_state.json")
+        if os.path.exists(gs):
+            with open(gs, "rb") as f:
+                pipeline.set_state(f.read())
+            print("input pipeline resumed from", gs)
     batches = PrefetchIterator(
-        batch_fn, depth=2, sharding=batch_sharding(mesh)
+        batch_fn, depth=2, sharding=batch_sharding(mesh),
+        # position snapshots ride the queue with each batch so the
+        # checkpoint sidecar records the CONSUMED position (see
+        # video_diffusion.py for the full rationale)
+        state_fn=pipeline.get_state if pipeline is not None else None,
     )
     logger = MetricLogger(
         cfg.output_dir,
@@ -340,11 +384,19 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
                 )
 
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
+                # grain position of the last CONSUMED batch rides the
+                # checkpoint as a sidecar (None for native sources)
+                grain_state = batches.consumed_state()
                 path = saver.save(
                     cfg.output_dir,
                     step,
                     {"tokenizer": state, "opt_state": opt_state},
                     config_to_dict(cfg),
+                    extra_files=(
+                        {"grain_state.json": grain_state}
+                        if grain_state is not None
+                        else None
+                    ),
                 )
                 print("checkpoint:", path)
                 grid = np.asarray(jax.device_get(last_recon))
@@ -360,11 +412,17 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
         batches.close()
         logger.close()
 
+    grain_state = batches.consumed_state()
     final = save_checkpoint(
         cfg.output_dir,
         cfg.max_steps,
         {"tokenizer": state, "opt_state": opt_state},
         config_to_dict(cfg),
+        extra_files=(
+            {"grain_state.json": grain_state}
+            if grain_state is not None
+            else None
+        ),
     )
     print("final checkpoint:", final)
     return state, {"checkpoint": final}

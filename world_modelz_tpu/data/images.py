@@ -83,6 +83,22 @@ class FileListImageDataset:
     def __len__(self) -> int:
         return len(self.file_names)
 
+    def __getitem__(self, i: int) -> np.ndarray:
+        """Random-access decode (the Grain-pipeline protocol). An
+        undecodable file falls through to the next index — deterministic
+        and static-shaped, the random-access analog of next_batch's
+        draw-a-replacement policy."""
+        n = len(self.file_names)
+        for k in range(n):
+            img = _decode_image(self.file_names[(i + k) % n])
+            if img is not None:
+                return (
+                    self.transform(img)
+                    if self.transform is not None
+                    else img
+                )
+        raise RuntimeError("no decodable images in the file list")
+
     def _next_index(self) -> int:
         if self._cursor >= len(self._order):
             if self.shuffle:
