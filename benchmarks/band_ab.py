@@ -23,7 +23,9 @@ from world_modelz_tpu.utils.profiling import benchmark_chained
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
-    p.add_argument("--shape", default="m3", choices=["m3", "s32", "g8"])
+    p.add_argument(
+        "--shape", default="m3", choices=["m3", "s32", "g8", "sber"]
+    )
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -46,6 +48,9 @@ def main():
     elif args.shape == "g8":
         # the as-trained model-#3 configuration: batch 64, 8x8 token grid
         b, s, h, w, inner, heads = 64, 6, 8, 8, 128, 1
+    elif args.shape == "sber":
+        # Sber 32x32 (the ledger's attn/sber row; bwd routes H-tiled)
+        b, s, h, w, inner, heads = 2, 16, 32, 32, 128, 1
     else:
         b, s, h, w, inner, heads = 2, 32, 16, 16, 128, 1
     extents = (3, 1, 1)
@@ -109,6 +114,37 @@ def main():
             bwd_pf(qt), x0, iters_short=40, iters_long=240, trials=3
         ) * 1e6
         print(f"bwd per-frame qt={qt}: {us:.1f} us")
+
+    # H-tiled variant (the routed BACKWARD at 32x32+; its key-row banding
+    # shipped round 3 — this block records the banded numbers)
+    from world_modelz_tpu.kernels.local3d import (
+        _bwd_impl_tiled,
+        _fwd_impl_tiled,
+        pick_h_tile,
+    )
+
+    th = pick_h_tile(s, h, w, extents, inner // heads)
+    if th is not None:
+
+        def fwd_ht(x):
+            return _fwd_impl_tiled(x, x, x, extents, heads, False, th)
+
+        def bwd_ht(x):
+            dq, dk, dv = _bwd_impl_tiled(
+                x, x, x, x, extents, heads, False, th
+            )
+            return dq + dk + dv
+
+        us = benchmark_chained(
+            fwd_ht, x0, iters_short=40, iters_long=240, trials=3
+        ) * 1e6
+        print(f"fwd h-tiled th={th}: {us:.1f} us")
+        us = benchmark_chained(
+            bwd_ht, x0, iters_short=40, iters_long=240, trials=3
+        ) * 1e6
+        print(f"bwd h-tiled th={th}: {us:.1f} us")
+    else:
+        print("h-tiled: no valid TH at this shape")
 
 
 if __name__ == "__main__":
