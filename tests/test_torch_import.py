@@ -1,0 +1,124 @@
+"""Torch-checkpoint import: reference VqAutoEncoder weights -> TokenizerState.
+
+Golden test against the REAL reference model (/root/reference, read-only):
+random-init the reference `VqAutoEncoder` (minecraft/train_vqae.py:20-55),
+convert its state_dict, and require identical token indices + matching
+decodes. Skipped when torch or the reference tree is unavailable.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+
+torch = pytest.importorskip("torch")
+if not os.path.isdir(REF):  # pragma: no cover
+    pytest.skip("reference tree not mounted", allow_module_level=True)
+
+
+def _stub_module(name: str):
+    if name in sys.modules:
+        return
+    mod = types.ModuleType(name)
+    mod.__getattr__ = lambda attr: types.SimpleNamespace()
+    sys.modules[name] = mod
+
+
+@pytest.fixture(scope="module")
+def ref_vqae_cls():
+    for name in ("torchvision", "torchvision.transforms", "wandb",
+                 "matplotlib", "matplotlib.pyplot"):
+        _stub_module(name)
+    sys.path.insert(0, os.path.join(REF, "minecraft"))
+    try:
+        import train_vqae as ref_train_vqae
+
+        return ref_train_vqae.VqAutoEncoder
+    finally:
+        sys.path.pop(0)
+
+
+@pytest.fixture(scope="module")
+def ref_model(ref_vqae_cls):
+    torch.manual_seed(7)
+    m = ref_vqae_cls(
+        embedding_dim=8, num_embeddings=32, downscale_steps=2,
+        hidden_planes=16, in_channels=1,
+    )
+    m.eval()
+    return m
+
+
+def _our_tokenizer():
+    from world_modelz_tpu.models import VQAutoEncoder
+
+    return VQAutoEncoder(
+        embedding_dim=8, num_embeddings=32, downscale_steps=2,
+        hidden_planes=16, in_channels=1,
+    )
+
+
+def test_torch_import_encode_decode_parity(ref_model):
+    from world_modelz_tpu.utils.torch_import import tokenizer_state_from_torch
+
+    state = tokenizer_state_from_torch(ref_model.state_dict())
+    tok = _our_tokenizer()
+
+    x = torch.rand(2, 1, 32, 32, generator=torch.Generator().manual_seed(3))
+    with torch.no_grad():
+        idx_ref = ref_model.encode(x)
+        dec_ref = ref_model.decode(idx_ref)
+
+    xj = x.permute(0, 2, 3, 1).numpy()
+    z = np.asarray(tok.encode(state, xj))
+    assert z.shape == (2, 8, 8)
+    # identical codebook + encoder activations -> identical nearest codes
+    np.testing.assert_array_equal(z, idx_ref.numpy())
+
+    dec = np.asarray(tok.decode(state, z))
+    np.testing.assert_allclose(
+        dec, dec_ref.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=2e-4
+    )
+
+
+def test_torch_import_cli_roundtrip(ref_model, tmp_path):
+    """Full migration path: reference .pth -> orbax checkpoint ->
+    load_tokenizer -> encode, matching the source model."""
+    import argparse
+
+    from world_modelz_tpu.cli.import_torch_vqae import (
+        ImportTorchVqaeConfig,
+        run,
+    )
+    from world_modelz_tpu.cli.train_vqae import load_tokenizer
+
+    pth = str(tmp_path / "ref_checkpoint_0000005.pth")
+    torch.save(
+        {
+            "step": 5,
+            "model_state_dict": ref_model.state_dict(),
+            "opt": argparse.Namespace(
+                embedding_dim=8, num_embeddings=32, downscale_steps=2,
+                hidden_planes=16, name="ref_import",
+            ),
+        },
+        pth,
+    )
+    out = str(tmp_path / "imported")
+    path = run(ImportTorchVqaeConfig(
+        torch_checkpoint=pth, output_dir=out, image_size=32,
+    ))
+    assert os.path.basename(path) == "step_0000005"
+
+    tok, state, config = load_tokenizer(path)
+    assert config["num_embeddings"] == 32 and config["in_channels"] == 1
+
+    x = torch.rand(2, 1, 32, 32, generator=torch.Generator().manual_seed(9))
+    with torch.no_grad():
+        idx_ref = ref_model.encode(x)
+    z = np.asarray(tok.encode(state, x.permute(0, 2, 3, 1).numpy()))
+    np.testing.assert_array_equal(z, idx_ref.numpy())

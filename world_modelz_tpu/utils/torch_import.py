@@ -1,0 +1,151 @@
+"""Import reference (PyTorch) VqAutoEncoder checkpoints into this framework.
+
+Migration path for users of the reference repo: a tokenizer trained with
+the reference `train_vqae.py` (minecraft/train_vqae.py:20-55 — the
+`VqAutoEncoder` whose checkpoint dict carries `model_state_dict` and the
+argparse `opt`, :216-223) converts into a `TokenizerState` usable by every
+trainer/CLI here (`load_tokenizer` contract). The conv/BN/VQ stacks are
+structurally 1:1 (models/conv.py mirrors autoencoder.py:18-152; ops/vq.py
+mirrors vq/vq.py:5-111), so the mapping is a pure rename + layout
+transpose:
+
+- torch `Conv2d.weight` (O, I, kh, kw)  ->  flax `kernel` (kh, kw, I, O)
+- torch BatchNorm weight/bias           ->  flax params scale/bias
+- torch BatchNorm running_mean/var      ->  flax batch_stats mean/var
+- `vq.embedding` / `vq.cluster_size`    ->  `VQState.codebook/cluster_size`
+  ((K, D) checkpoints are lifted to the (1, K, D) multi-latent layout)
+
+Note: our decoder applies the skip's 1x1 projection at LOW resolution
+(an exact commute with the bilinear upsample, models/conv.py:297-306), so
+the reference's `conv_residual` weights transfer verbatim.
+
+Tensors are accepted as torch tensors or numpy arrays; the module itself
+never imports torch (the CLI does, to unpickle the checkpoint).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Tuple
+
+import numpy as np
+
+
+def _np(t) -> np.ndarray:
+    if hasattr(t, "detach"):  # torch tensor without importing torch
+        t = t.detach().cpu().numpy()
+    return np.asarray(t, np.float32)
+
+
+def _conv(sd: Mapping, key: str) -> dict:
+    out = {"kernel": _np(sd[f"{key}.weight"]).transpose(2, 3, 1, 0)}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _bn(sd: Mapping, key: str) -> Tuple[dict, dict]:
+    params = {
+        "scale": _np(sd[f"{key}.weight"]),
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+    stats = {
+        "mean": _np(sd[f"{key}.running_mean"]),
+        "var": _np(sd[f"{key}.running_var"]),
+    }
+    return params, stats
+
+
+def _residual(sd: Mapping, base: str) -> Tuple[dict, dict]:
+    """One encoder Residual block (autoencoder.py:18-42):
+    _block = [conv3x3, BN, act, conv1x1, BN] (+ downsample [conv, BN])."""
+    p, s = {}, {}
+    p["Conv_0"] = _conv(sd, f"{base}._block.0")
+    p["BatchNorm_0"], s["BatchNorm_0"] = _bn(sd, f"{base}._block.1")
+    p["Conv_1"] = _conv(sd, f"{base}._block.3")
+    p["BatchNorm_1"], s["BatchNorm_1"] = _bn(sd, f"{base}._block.4")
+    if f"{base}.downsample.0.weight" in sd:
+        p["Conv_2"] = _conv(sd, f"{base}.downsample.0")
+        p["BatchNorm_2"], s["BatchNorm_2"] = _bn(sd, f"{base}.downsample.1")
+    return p, s
+
+
+def tokenizer_trees_from_torch(sd: Mapping) -> Tuple[dict, dict, dict]:
+    """reference `VqAutoEncoder.state_dict()` -> (params, batch_stats, vq).
+
+    Returns plain nested dicts; `tokenizer_state_from_torch` wraps them in
+    the framework's `TokenizerState`.
+    """
+    # ---- encoder: _conv_1 stem + _residual_stack._stack.{i} ------------
+    enc_p = {"Conv_0": _conv(sd, "encoder._conv_1")}
+    stack_p, stack_s = {}, {}
+    i = 0
+    while f"encoder._residual_stack._stack.{i}._block.0.weight" in sd:
+        p, s = _residual(sd, f"encoder._residual_stack._stack.{i}")
+        stack_p[f"Residual_{i}"], stack_s[f"Residual_{i}"] = p, s
+        i += 1
+    if i == 0:
+        raise KeyError(
+            "no encoder._residual_stack.* keys — is this a VqAutoEncoder "
+            "state_dict (strip any 'model_state_dict' wrapper first)?"
+        )
+    enc_p["ResidualStack_0"] = stack_p
+    enc_s = {"ResidualStack_0": stack_s}
+
+    # ---- decoder: decoder_stack = [stem, UpscaleResidual..., out] ------
+    dec_p, dec_s = {"Conv_0": _conv(sd, "decoder.decoder_stack.0")}, {}
+    i, j = 1, 0
+    while f"decoder.decoder_stack.{i}.conv1.weight" in sd:
+        base = f"decoder.decoder_stack.{i}"
+        p, s = {}, {}
+        p["BatchNorm_0"], s["BatchNorm_0"] = _bn(sd, f"{base}.bn1")
+        p["Conv_0"] = _conv(sd, f"{base}.conv1")
+        p["BatchNorm_1"], s["BatchNorm_1"] = _bn(sd, f"{base}.bn2")
+        p["Conv_1"] = _conv(sd, f"{base}.conv2")
+        if f"{base}.conv_residual.weight" in sd:
+            p["Conv_2"] = _conv(sd, f"{base}.conv_residual")
+        dec_p[f"UpscaleResidual_{j}"], dec_s[f"UpscaleResidual_{j}"] = p, s
+        i, j = i + 1, j + 1
+    dec_p["Conv_1"] = _conv(sd, f"decoder.decoder_stack.{i}")
+
+    # ---- VQ buffers ----------------------------------------------------
+    codebook = _np(sd["vq.embedding"])
+    if codebook.ndim == 2:  # single-latent checkpoints
+        codebook = codebook[None]
+    cluster = _np(sd["vq.cluster_size"])
+    if cluster.ndim == 1:
+        cluster = cluster[None]
+
+    def _opt(name: str) -> np.ndarray:
+        # activation/error stats are non-persistent reference buffers
+        # (vq/vq.py:18-19) — absent from most checkpoints
+        if name in sd:
+            v = _np(sd[name])
+            return v[None] if v.ndim == 1 else v
+        return np.zeros_like(cluster)
+
+    vq = {
+        "codebook": codebook,
+        "cluster_size": cluster,
+        "activation_count": _opt("vq.activation_count"),
+        "accumulated_error": _opt("vq.accumulated_error"),
+    }
+    return {"encoder": enc_p, "decoder": dec_p}, \
+        {"encoder": enc_s, "decoder": dec_s}, vq
+
+
+def tokenizer_state_from_torch(sd: Mapping):
+    """reference state_dict -> `TokenizerState` (jnp arrays)."""
+    import jax.numpy as jnp
+
+    from world_modelz_tpu.models import TokenizerState
+    from world_modelz_tpu.ops.vq import VQState
+
+    params, stats, vq = tokenizer_trees_from_torch(sd)
+    to_j = lambda tree: __import__("jax").tree_util.tree_map(
+        jnp.asarray, tree
+    )
+    return TokenizerState(
+        params=to_j(params),
+        batch_stats=to_j(stats),
+        vq=VQState(**{k: jnp.asarray(v) for k, v in vq.items()}),
+    )
