@@ -24,7 +24,13 @@ def _stub_module(name: str):
     if name in sys.modules:
         return
     mod = types.ModuleType(name)
-    mod.__getattr__ = lambda attr: types.SimpleNamespace()
+
+    def _getattr(attr):
+        if attr.startswith("__"):  # keep inspect/import machinery sane
+            raise AttributeError(attr)
+        return types.SimpleNamespace()
+
+    mod.__getattr__ = _getattr
     sys.modules[name] = mod
 
 
@@ -122,3 +128,86 @@ def test_torch_import_cli_roundtrip(ref_model, tmp_path):
         idx_ref = ref_model.encode(x)
     z = np.asarray(tok.encode(state, x.permute(0, 2, 3, 1).numpy()))
     np.testing.assert_array_equal(z, idx_ref.numpy())
+
+
+@pytest.fixture(scope="module")
+def ref_video_model():
+    for name in ("torchvision", "torchvision.transforms", "wandb",
+                 "matplotlib", "matplotlib.pyplot"):
+        _stub_module(name)
+    sys.path.insert(0, os.path.join(REF, "vq-video-diffusion"))
+    try:
+        import main as ref_main
+
+        torch.manual_seed(11)
+        m = ref_main.VqVideoDiffusionModel(
+            data_shape=(3, 8, 8), dim=16, num_classes=32,
+            extents=(1, 1, 1), depth=2, dim_head=8, mlp_dim=24, heads=2,
+        )
+        m.eval()
+        return m
+    finally:
+        sys.path.pop(0)
+
+
+def test_torch_import_video_logits_parity(ref_video_model):
+    """Imported denoiser weights produce the reference's logits exactly
+    (same tokens in, same last-frame logits out)."""
+    import jax.numpy as jnp
+
+    from world_modelz_tpu.models.video import VqVideoDiffusionModel
+    from world_modelz_tpu.utils.torch_import import video_params_from_torch
+
+    params = video_params_from_torch(ref_video_model.state_dict())
+    model = VqVideoDiffusionModel(
+        data_shape=(3, 8, 8), dim=16, num_classes=32, extents=(1, 1, 1),
+        depth=2, dim_head=8, mlp_dim=24, heads=2, backend="xla",
+    )
+    g = torch.Generator().manual_seed(4)
+    tokens = torch.randint(0, 33, (2, 3, 8, 8), generator=g)  # incl. mask
+    with torch.no_grad():
+        ref_logits = ref_video_model(tokens).numpy()
+    params = __import__("jax").tree_util.tree_map(jnp.asarray, params)
+    logits = np.asarray(
+        model.apply({"params": params}, jnp.asarray(tokens.numpy()))
+    )
+    # the only systematic difference is the GELU variant (flax tanh
+    # approximation vs torch exact erf): observed max |diff| 1.4e-4 at
+    # this scale, far below sampling noise
+    np.testing.assert_allclose(logits, ref_logits, rtol=2e-3, atol=5e-4)
+
+
+def test_torch_import_video_cli_roundtrip(ref_video_model, tmp_path):
+    """Reference main.py .pth -> our checkpoint -> rollout-style restore."""
+    import argparse
+
+    from world_modelz_tpu.cli.import_torch_video import (
+        ImportTorchVideoConfig,
+        run,
+    )
+    from world_modelz_tpu.cli.video_diffusion import VideoDiffusionConfig
+    from world_modelz_tpu.train.checkpoint import restore_checkpoint
+    from world_modelz_tpu.utils.config import config_from_dict
+
+    pth = str(tmp_path / "m_checkpoint.pth")
+    torch.save(
+        {
+            "step": 11,
+            "model_state_dict": ref_video_model.state_dict(),
+            "ema_model_state_dict": ref_video_model.state_dict(),
+            "opt": argparse.Namespace(
+                heads=2, extents="1,1,1", ema_decay=0.999, name="m",
+            ),
+        },
+        pth,
+    )
+    path = run(ImportTorchVideoConfig(
+        torch_checkpoint=pth, output_dir=str(tmp_path / "out"),
+        decoder_model="tok_placeholder", image_size=32,
+    ))
+    state, step, config = restore_checkpoint(path)
+    assert step == 11
+    cfg = config_from_dict(VideoDiffusionConfig, config)
+    assert cfg.dim == 16 and cfg.depth == 2 and cfg.n_past == 2
+    assert cfg.extents == (1, 1, 1) and cfg.heads == 2
+    assert state["ema"]  # ema weights imported

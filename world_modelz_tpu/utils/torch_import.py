@@ -133,6 +133,70 @@ def tokenizer_trees_from_torch(sd: Mapping) -> Tuple[dict, dict, dict]:
         {"encoder": enc_s, "decoder": dec_s}, vq
 
 
+def _linear(sd: Mapping, key: str) -> dict:
+    """torch nn.Linear (out, in) -> flax nn.Dense kernel (in, out)."""
+    out = {"kernel": _np(sd[f"{key}.weight"]).T}
+    if f"{key}.bias" in sd:
+        out["bias"] = _np(sd[f"{key}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping, key: str) -> dict:
+    return {
+        "scale": _np(sd[f"{key}.weight"]),
+        "bias": _np(sd[f"{key}.bias"]),
+    }
+
+
+def video_params_from_torch(sd: Mapping) -> dict:
+    """reference `VqVideoDiffusionModel.state_dict()` -> flax params.
+
+    The reference model (minecraft/main2.py:26-37 wrapping
+    local_3d_attention.py:121-163) is a pre-norm stack of
+    PreNorm(Local3dAttention) / PreNorm(FeedForward) pairs under
+    `transformer.layers.{i}.{0,1}` plus embedding/position tables and the
+    last-frame `logit_proj` head; our module mirrors it 1:1
+    (models/video.py, models/attention.py), so the mapping is renames +
+    Linear transposes. Works for both `model_state_dict` and
+    `ema_model_state_dict` (identical layouts).
+
+    Imported forwards match the reference to ~1e-4 (golden-tested); the
+    one systematic difference is the GELU variant — flax's tanh
+    approximation vs torch's exact erf.
+    """
+    emb = lambda key: {"embedding": _np(sd[f"{key}.weight"])}
+    tr = {
+        "embedding": emb("transformer.embedding"),
+        "pos_emb_s": emb("transformer.pos_emb_s"),
+        "pos_emb_h": emb("transformer.pos_emb_h"),
+        "pos_emb_w": emb("transformer.pos_emb_w"),
+    }
+    i = 0
+    while f"transformer.layers.{i}.0.norm.weight" in sd:
+        base = f"transformer.layers.{i}"
+        tr[f"attn_norm_{i}"] = _layernorm(sd, f"{base}.0.norm")
+        attn = {
+            "to_q": _linear(sd, f"{base}.0.fn.to_q"),
+            "to_k": _linear(sd, f"{base}.0.fn.to_k"),
+            "to_v": _linear(sd, f"{base}.0.fn.to_v"),
+        }
+        if f"{base}.0.fn.to_out.0.weight" in sd:  # project_out only
+            attn["to_out"] = _linear(sd, f"{base}.0.fn.to_out.0")
+        tr[f"attn_{i}"] = attn
+        tr[f"ff_norm_{i}"] = _layernorm(sd, f"{base}.1.norm")
+        tr[f"ff_{i}"] = {
+            "Dense_0": _linear(sd, f"{base}.1.fn.net.0"),
+            "Dense_1": _linear(sd, f"{base}.1.fn.net.3"),
+        }
+        i += 1
+    if i == 0:
+        raise KeyError(
+            "no transformer.layers.* keys — is this a VqVideoDiffusionModel "
+            "state_dict (strip any 'model_state_dict' wrapper first)?"
+        )
+    return {"transformer": tr, "logit_proj": _linear(sd, "logit_proj")}
+
+
 def tokenizer_state_from_torch(sd: Mapping):
     """reference state_dict -> `TokenizerState` (jnp arrays)."""
     import jax.numpy as jnp
