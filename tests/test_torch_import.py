@@ -34,18 +34,40 @@ def _stub_module(name: str):
     sys.modules[name] = mod
 
 
+# generic module names the reference dirs shadow between each other
+# (vq-video-diffusion and minecraft both have train_vqae, vq,
+# importance_sampling, ... with diverged contents)
+_REF_NAMES = (
+    "train_vqae", "autoencoder", "vq", "local_3d_attention", "main",
+    "transformer", "importance_sampling", "warmup_scheduler",
+    "model_ema_v2", "buffered_traj_sampler", "sparse_diffusion",
+    "data", "data.moving_mnist",
+)
+
+
+def _import_ref(subdir: str, module: str):
+    """Import `module` from a reference subdir with the cross-dir
+    generic names purged before AND after (the returned module object
+    stays alive; only the sys.modules cache entries are dropped)."""
+    import importlib
+
+    for n in _REF_NAMES:
+        sys.modules.pop(n, None)
+    sys.path.insert(0, os.path.join(REF, subdir))
+    try:
+        return importlib.import_module(module)
+    finally:
+        sys.path.pop(0)
+        for n in _REF_NAMES:
+            sys.modules.pop(n, None)
+
+
 @pytest.fixture(scope="module")
 def ref_vqae_cls():
     for name in ("torchvision", "torchvision.transforms", "wandb",
                  "matplotlib", "matplotlib.pyplot"):
         _stub_module(name)
-    sys.path.insert(0, os.path.join(REF, "minecraft"))
-    try:
-        import train_vqae as ref_train_vqae
-
-        return ref_train_vqae.VqAutoEncoder
-    finally:
-        sys.path.pop(0)
+    return _import_ref("minecraft", "train_vqae").VqAutoEncoder
 
 
 @pytest.fixture(scope="module")
@@ -135,19 +157,14 @@ def ref_video_model():
     for name in ("torchvision", "torchvision.transforms", "wandb",
                  "matplotlib", "matplotlib.pyplot"):
         _stub_module(name)
-    sys.path.insert(0, os.path.join(REF, "vq-video-diffusion"))
-    try:
-        import main as ref_main
-
-        torch.manual_seed(11)
-        m = ref_main.VqVideoDiffusionModel(
-            data_shape=(3, 8, 8), dim=16, num_classes=32,
-            extents=(1, 1, 1), depth=2, dim_head=8, mlp_dim=24, heads=2,
-        )
-        m.eval()
-        return m
-    finally:
-        sys.path.pop(0)
+    ref_main = _import_ref("vq-video-diffusion", "main")
+    torch.manual_seed(11)
+    m = ref_main.VqVideoDiffusionModel(
+        data_shape=(3, 8, 8), dim=16, num_classes=32,
+        extents=(1, 1, 1), depth=2, dim_head=8, mlp_dim=24, heads=2,
+    )
+    m.eval()
+    return m
 
 
 def test_torch_import_video_logits_parity(ref_video_model):
@@ -211,3 +228,94 @@ def test_torch_import_video_cli_roundtrip(ref_video_model, tmp_path):
     assert cfg.dim == 16 and cfg.depth == 2 and cfg.n_past == 2
     assert cfg.extents == (1, 1, 1) and cfg.heads == 2
     assert state["ema"]  # ema weights imported
+
+
+@pytest.fixture(scope="module")
+def ref_sparse_model():
+    for name in ("torchvision", "torchvision.transforms", "wandb",
+                 "matplotlib", "matplotlib.pyplot", "minerl"):
+        _stub_module(name)
+    ref_sparse = _import_ref("minecraft", "sparse_diffusion")
+    torch.manual_seed(13)
+    m = ref_sparse.VqSparseDiffusionModel(
+        shape=(4, 8, 8), dim=16, num_classes=32, depth=2,
+        dim_head=8, mlp_dim=24, heads=2,
+    )
+    m.eval()
+    return m
+
+
+def test_torch_import_sparse_logits_parity(ref_sparse_model):
+    import jax.numpy as jnp
+
+    from world_modelz_tpu.models.video import VqSparseDiffusionModel
+    from world_modelz_tpu.utils.torch_import import sparse_params_from_torch
+
+    params = sparse_params_from_torch(ref_sparse_model.state_dict())
+    model = VqSparseDiffusionModel(
+        shape=(4, 8, 8), num_classes=32, dim=16, depth=2, dim_head=8,
+        mlp_dim=24, heads=2, attn_backend="xla",
+    )
+    g = torch.Generator().manual_seed(6)
+    tokens = torch.randint(0, 33, (2, 24), generator=g)
+    indices = torch.randint(0, 4 * 8 * 8, (2, 24), generator=g)
+    with torch.no_grad():
+        ref_logits = ref_sparse_model(tokens, indices).numpy()
+    params = __import__("jax").tree_util.tree_map(jnp.asarray, params)
+    logits = np.asarray(model.apply(
+        {"params": params},
+        jnp.asarray(tokens.numpy()), jnp.asarray(indices.numpy()),
+    ))
+    np.testing.assert_allclose(logits, ref_logits, rtol=2e-3, atol=5e-4)
+
+
+def test_torch_import_sparse_cli_and_init_from(ref_sparse_model, tmp_path):
+    """Reference sparse .pth -> our checkpoint -> the sparse trainer's
+    weights-only --init_from warm start runs real steps from it."""
+    import argparse
+
+    from world_modelz_tpu.cli.import_torch_sparse import (
+        ImportTorchSparseConfig,
+        run,
+    )
+    from world_modelz_tpu.cli.sparse_diffusion import (
+        SparseDiffusionConfig,
+        train,
+    )
+    from world_modelz_tpu.cli.train_vqae import TrainVqaeConfig
+    from world_modelz_tpu.cli.train_vqae import train as train_vqae
+
+    pth = str(tmp_path / "sparse_checkpoint.pth")
+    torch.save(
+        {
+            "step": 21,
+            "model_state_dict": ref_sparse_model.state_dict(),
+            "opt": argparse.Namespace(heads=2, num_context=24, name="s"),
+        },
+        pth,
+    )
+    # matching tokenizer: 32 codes, f4 at image 32 -> 8x8 grid
+    tok_out = str(tmp_path / "tok")
+    _state, info = train_vqae(TrainVqaeConfig(
+        batch_size=8, image_size=32, max_steps=8, downscale_steps=2,
+        embedding_dim=8, hidden_planes=16, num_embeddings=32,
+        checkpoint_interval=8, vq_reuse_interval=4, log_interval=4,
+        output_dir=tok_out, name="t",
+    ))
+    path = run(ImportTorchSparseConfig(
+        torch_checkpoint=pth, output_dir=str(tmp_path / "imp"),
+        decoder_model=info["checkpoint"], image_size=32,
+    ))
+    assert os.path.basename(path) == "step_0000021"
+
+    out = str(tmp_path / "ft")
+    cfg = SparseDiffusionConfig(
+        decoder_model=info["checkpoint"], init_from=path,
+        batch_size=2, eval_batch_size=1, max_steps=2, warmup=1,
+        S=4, H=8, W=8, image_size=32, num_context=24,
+        dim=16, mlp_dim=24, heads=2, depth=2,
+        eval_interval=0, checkpoint_interval=2, buffer_size=120,
+        max_segment_length=60, log_interval=1, output_dir=out, name="ft",
+    )
+    train(cfg)
+    assert os.path.isdir(os.path.join(out, "step_0000002"))

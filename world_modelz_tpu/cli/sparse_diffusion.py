@@ -90,6 +90,11 @@ class SparseDiffusionConfig:
     bf16: bool = False  # bfloat16 compute with f32 master weights
     nan_guard: bool = True  # reject non-finite steps; auto-restore on streaks
     checkpoint: str = ""  # resume path
+    # weights-only warm start: load params (and EMA when present) from a
+    # checkpoint but keep a fresh optimizer/sampler and step 0 — for
+    # fine-tuning, or checkpoints without optimizer state (e.g. imported
+    # reference models, cli/import_torch_sparse.py)
+    init_from: str = ""
 
     decoder_model: str = ""
     tokenizer: str = ""  # external tokenizer spec, e.g. "taming:<cfg>,<ckpt>"
@@ -275,6 +280,9 @@ def train(cfg: SparseDiffusionConfig):
     sampler_state = loss_aware_init()
 
     start_step = 0
+    if cfg.checkpoint and cfg.init_from:
+        raise ValueError("--checkpoint (full resume) and --init_from "
+                         "(weights-only) are mutually exclusive")
     if cfg.checkpoint:
         target = {
             "params": params,
@@ -288,6 +296,18 @@ def train(cfg: SparseDiffusionConfig):
         opt_state = restored["opt_state"]
         sampler_state = restored["sampler"]
         print(f"resumed from {cfg.checkpoint} at step {start_step}")
+    elif cfg.init_from:
+        # weights only: no target, so any optimizer/sampler layout (or
+        # none at all) in the source checkpoint is fine
+        restored, at_step, _ = restore_checkpoint(cfg.init_from)
+        params = restored["params"]
+        opt_state = opt.init(params)
+        if cfg.ema_decay > 0:
+            ema_params = (
+                restored["ema"] if restored.get("ema") else ema_init(params)
+            )
+        print(f"warm start from {cfg.init_from} (step {at_step} weights; "
+              "fresh optimizer, step 0)")
 
     p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
     params = jax.device_put(params, p_shard)

@@ -162,6 +162,11 @@ class VideoDiffusionConfig:
     name: str = "vq_diffusion"
     output_dir: str = "outputs/video_diffusion"
     checkpoint: str = ""
+    # weights-only warm start: load params/EMA but keep a fresh optimizer/
+    # sampler and step 0 — for fine-tuning, or checkpoints without
+    # optimizer state (e.g. imported reference models,
+    # cli/import_torch_video.py)
+    init_from: str = ""
     eval: bool = False
     topk: int = -1
 
@@ -416,6 +421,19 @@ def train(cfg: VideoDiffusionConfig):
     sampler_state = loss_aware_init()
 
     start_step = 0
+    if cfg.checkpoint and cfg.init_from:
+        raise ValueError("--checkpoint (full resume) and --init_from "
+                         "(weights-only) are mutually exclusive")
+    if cfg.init_from and not cfg.eval:
+        restored, at_step, _ = restore_checkpoint(cfg.init_from)
+        params = restored["params"]
+        opt_state = opt.init(params)
+        if cfg.ema_decay > 0:
+            ema_params = (
+                restored["ema"] if restored.get("ema") else ema_init(params)
+            )
+        print(f"warm start from {cfg.init_from} (step {at_step} weights; "
+              "fresh optimizer, step 0)")
     if cfg.checkpoint:
         if cfg.eval:
             # eval-only: weights suffice; don't demand optimizer-state

@@ -197,6 +197,48 @@ def video_params_from_torch(sd: Mapping) -> dict:
     return {"transformer": tr, "logit_proj": _linear(sd, "logit_proj")}
 
 
+def sparse_params_from_torch(sd: Mapping) -> dict:
+    """reference `VqSparseDiffusionModel.state_dict()` -> flax params.
+
+    The reference (minecraft/sparse_diffusion.py:75-111 over
+    minecraft/transformer.py:34-80) is factorized position tables + token
+    embedding + a fused-QKV pre-norm dense transformer + logit head; our
+    module mirrors it (models/video.py VqSparseDiffusionModel over
+    models/attention.py DenseTransformer — same q/k/v chunk order and
+    heads-major head split), so the mapping is renames + transposes.
+    """
+    emb = lambda key: {"embedding": _np(sd[f"{key}.weight"])}
+    out = {
+        "embedding": emb("embedding"),
+        "pos_emb_s": emb("pos_emb_s"),
+        "pos_emb_h": emb("pos_emb_h"),
+        "pos_emb_w": emb("pos_emb_w"),
+        "logit_proj": _linear(sd, "logit_proj"),
+    }
+    tr = {}
+    i = 0
+    while f"transformer.layers.{i}.0.norm.weight" in sd:
+        base = f"transformer.layers.{i}"
+        tr[f"LayerNorm_{2 * i}"] = _layernorm(sd, f"{base}.0.norm")
+        attn = {"to_qkv": _linear(sd, f"{base}.0.fn.to_qkv")}
+        if f"{base}.0.fn.to_out.0.weight" in sd:  # project_out only
+            attn["to_out"] = _linear(sd, f"{base}.0.fn.to_out.0")
+        tr[f"DenseAttention_{i}"] = attn
+        tr[f"LayerNorm_{2 * i + 1}"] = _layernorm(sd, f"{base}.1.norm")
+        tr[f"FeedForward_{i}"] = {
+            "Dense_0": _linear(sd, f"{base}.1.fn.net.0"),
+            "Dense_1": _linear(sd, f"{base}.1.fn.net.3"),
+        }
+        i += 1
+    if i == 0:
+        raise KeyError(
+            "no transformer.layers.* keys — is this a VqSparseDiffusionModel "
+            "state_dict (strip any 'model_state_dict' wrapper first)?"
+        )
+    out["transformer"] = tr
+    return out
+
+
 def tokenizer_state_from_torch(sd: Mapping):
     """reference state_dict -> `TokenizerState` (jnp arrays)."""
     import jax.numpy as jnp
