@@ -39,4 +39,9 @@ if [ -d "$CKPT" ]; then
     --out artifacts/sampler_sweep_f16.json >>"$LOG" 2>&1 \
     || echo "sampler sweep failed" | tee -a "$LOG"
 fi
+
+# single-source quality table (same policy as the perf-ledger tables)
+python scripts/summarize_quality.py --dir "$DEST" --prefix m3f16 \
+  --title "Model #3 @16x16 grid: quality across 20k/50k/75k checkpoints" \
+  --out "$DEST/README.md" | tee -a "$LOG" || true
 echo "[collect_round3_f16] done" | tee -a "$LOG"

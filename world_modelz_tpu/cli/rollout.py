@@ -78,6 +78,9 @@ def run(cfg: RolloutConfig):
 
     state, step, config = restore_checkpoint(cfg.checkpoint)
     train_cfg = config_from_dict(VideoDiffusionConfig, config)
+    # rollout consumes pixel clips directly; a trajectory-shipping train
+    # config (--device_composite) must not leak its dict-batch format here
+    train_cfg = dataclasses.replace(train_cfg, device_composite=False)
     params = state["ema"] if cfg.use_ema and state.get("ema") else state["params"]
 
     tok, tok_state, _ = load_tokenizer(train_cfg.decoder_model)
