@@ -484,6 +484,18 @@ def test_video_diffusion_cli_device_composite(tmp_path):
     assert any(f.startswith("step_") for f in files)
     assert any(f.endswith("_base.png") for f in files)
 
+    # regression: rollout must consume composite-config checkpoints (its
+    # clip fns must yield pixels, and uint8 sources must be normalized —
+    # both broke silently when introduced)
+    from world_modelz_tpu.cli.rollout import RolloutConfig, run
+
+    run(RolloutConfig(
+        checkpoint=os.path.join(out, "step_0000006"), batch_size=2,
+        num_frames=2, num_eval_iterations=2, gt_metrics=True,
+        output_dir=os.path.join(out, "ro"), name="ro",
+    ))
+    assert os.path.isfile(os.path.join(out, "ro", "ro_gt_metrics.json"))
+
 
 def test_video_diffusion_device_composite_rejects_grain(tokenizer_ckpt):
     from world_modelz_tpu.cli.video_diffusion import (

@@ -33,6 +33,7 @@ from world_modelz_tpu.cli.video_diffusion import (
     build_clip_fn,
     make_model,
 )
+from world_modelz_tpu.data.device_composite import as_frames
 from world_modelz_tpu.diffusion import rollout_frames
 from world_modelz_tpu.train.checkpoint import restore_checkpoint
 from world_modelz_tpu.utils import (
@@ -106,10 +107,12 @@ def run(cfg: RolloutConfig):
         `frames` overrides the seed clip (B, n_past+1, H, W, C); by default
         a fresh batch is drawn from the training data source."""
         nonlocal model, params
-        if frames is None:
-            frames = jnp.asarray(clip_fn(cfg.batch_size))
-        else:
-            frames = jnp.asarray(frames)
+        # as_frames: the training sources ship uint8 pixels (normalized on
+        # device); the tokenizer wants float [0, 1]
+        frames = as_frames(
+            clip_fn(cfg.batch_size) if frames is None else frames,
+            train_cfg.image_size,
+        )
         b, s, hh, ww, c = frames.shape
         tokens = tok.encode(tok_state, frames.reshape(b * s, hh, ww, c))
         tokens = tokens.reshape(b, s, tokens.shape[1], tokens.shape[2])
@@ -174,7 +177,9 @@ def run(cfg: RolloutConfig):
         real_fn, real_sampler = build_clip_fn(
             real_cfg, cfg.manual_seed + 1
         )
-        real_videos = np.asarray(real_fn(len(gen_videos)))
+        real_videos = np.asarray(
+            as_frames(real_fn(len(gen_videos)), train_cfg.image_size)
+        )
         if real_sampler is not None:
             real_sampler.close()
 
@@ -213,7 +218,9 @@ def run(cfg: RolloutConfig):
             train_cfg, n_past=n_past + cfg.num_frames - 1
         )
         ext_fn, ext_sampler = build_clip_fn(ext_cfg, cfg.manual_seed + 2)
-        long_clip = np.asarray(ext_fn(cfg.batch_size))
+        long_clip = np.asarray(
+            as_frames(ext_fn(cfg.batch_size), train_cfg.image_size)
+        )
         if ext_sampler is not None:
             ext_sampler.close()
         seed_clip = long_clip[:, : n_past + 1]
