@@ -29,7 +29,16 @@ def _stub_module(name: str):
     if name in sys.modules:
         return
     mod = types.ModuleType(name)
-    mod.__getattr__ = lambda attr: types.SimpleNamespace()  # tolerate use
+
+    def _getattr(attr):
+        # dunder lookups must fail honestly: inspect.getmodule walks
+        # sys.modules reading __file__, and a SimpleNamespace there breaks
+        # unrelated tests (flax uses inspect during error reporting)
+        if attr.startswith("__"):
+            raise AttributeError(attr)
+        return types.SimpleNamespace()  # tolerate use
+
+    mod.__getattr__ = _getattr
     sys.modules[name] = mod
 
 
