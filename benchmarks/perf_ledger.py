@@ -502,40 +502,51 @@ def sec_train_b64(led: Ledger):
 
 
 def sec_train_e2e(led: Ledger):
-    """Ingest a real-trainer timing report (cli/video_diffusion
-    --timing_report) as an end-to-end ledger row with the host-overhead
+    """Ingest real-trainer timing reports (cli/video_diffusion
+    --timing_report) as end-to-end ledger rows with the host-overhead
     breakdown in the config, so the compiled-vs-wall gap is explained by
-    tracked numbers instead of footnotes."""
-    path = os.environ.get(
-        "WMZ_TIMING_REPORT",
-        os.path.join(
-            os.path.dirname(OUT_DEFAULT), "train_e2e_timing.json"
-        ),
+    tracked numbers instead of footnotes. The optional `composite` report
+    is the same trainer with --device_composite (trajectory shipping)."""
+    art = os.path.dirname(OUT_DEFAULT)
+    reports = (
+        ("train_e2e/m3/trainer",
+         os.environ.get("WMZ_TIMING_REPORT",
+                        os.path.join(art, "train_e2e_timing.json")),
+         True),
+        ("train_e2e/m3/composite",
+         os.environ.get("WMZ_COMPOSITE_TIMING_REPORT",
+                        os.path.join(art, "train_e2e_composite_timing.json")),
+         False),
     )
-    if not os.path.exists(path):
-        print(f"train_e2e: no timing report at {path} — run the trainer "
-              "with --timing_report first; skipping")
-        return
-    with open(path) as f:
-        rep = json.load(f)
-    # FLOPs at the run's ACTUAL token grid (the as-trained rounds use the
-    # downscale-3 tokenizer -> 6x8x8, not M3_SHAPE's published 16x16)
-    shape = tuple(rep.get("token_shape", M3_SHAPE))
-    fwd = F.local3d_transformer_flops(
-        rep["batch_size"], shape, num_classes=M3_K, **M3
-    )
-    s = 1.0 / rep["steps_per_sec"]
-    led.record(
-        "train_e2e/m3/trainer",
-        s,
-        F.train_step_flops(fwd, checkpointed=True),
-        batch=rep["batch_size"],
-        grid=f"{shape[1]}x{shape[2]}",
-        steps_per_sec=rep["steps_per_sec"],
-        samples_per_sec=round(rep["batch_size"] * rep["steps_per_sec"], 1),
-        window_steps=rep["window_steps"],
-        breakdown_pct=rep["breakdown_pct"],
-    )
+    for row, path, required in reports:
+        if not os.path.exists(path):
+            if required:
+                print(f"train_e2e: no timing report at {path} — run the "
+                      "trainer with --timing_report first; skipping")
+            continue
+        with open(path) as f:
+            rep = json.load(f)
+        # FLOPs at the run's ACTUAL token grid (the as-trained rounds use
+        # the downscale-3 tokenizer -> 6x8x8, not M3_SHAPE's published
+        # 16x16)
+        shape = tuple(rep.get("token_shape", M3_SHAPE))
+        fwd = F.local3d_transformer_flops(
+            rep["batch_size"], shape, num_classes=M3_K, **M3
+        )
+        s = 1.0 / rep["steps_per_sec"]
+        led.record(
+            row,
+            s,
+            F.train_step_flops(fwd, checkpointed=True),
+            batch=rep["batch_size"],
+            grid=f"{shape[1]}x{shape[2]}",
+            steps_per_sec=rep["steps_per_sec"],
+            samples_per_sec=round(
+                rep["batch_size"] * rep["steps_per_sec"], 1
+            ),
+            window_steps=rep["window_steps"],
+            breakdown_pct=rep["breakdown_pct"],
+        )
 
 
 def sec_train_e2e_sparse(led: Ledger):
