@@ -165,3 +165,33 @@ def test_http_queue_timeout(server):
         urllib.request.urlopen(req, timeout=30)
     assert ei.value.code == 400
     assert "X-Timeout-S" in ei.value.read().decode()
+
+
+def test_http_bearer_auth(server):
+    """A token-protected front-end: 401 without/with a wrong token,
+    healthz stays open, the client helpers attach the header."""
+    svc = server.service
+    with RolloutHTTPServer(svc, port=0, auth_token="s3cret") as srv:
+        url = f"http://127.0.0.1:{srv.port}"
+        # healthz open for probes
+        with urllib.request.urlopen(f"{url}/healthz", timeout=30) as r:
+            assert json.loads(r.read()) == {"ok": True}
+        # no token -> 401
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(f"{url}/stats", timeout=30)
+        assert ei.value.code == 401
+        # wrong token -> 401
+        req = urllib.request.Request(
+            f"{url}/stats", headers={"Authorization": "Bearer nope"}
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 401
+        # right token: generate + session flow through the client helpers
+        out = http_generate(url, _clip(7), timeout=300, token="s3cret")
+        assert out.shape == (2, IMG, IMG, C)
+        from world_modelz_tpu.serve_http import HTTPSession
+
+        sess = HTTPSession(url, _clip(8), timeout=300, token="s3cret")
+        assert sess.generate().shape == (2, IMG, IMG, C)
+        sess.close()

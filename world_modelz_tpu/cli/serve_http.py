@@ -40,6 +40,10 @@ class ServeHTTPConfig:
     use_ema: bool = False
     host: str = "127.0.0.1"
     port: int = 8000
+    # bearer auth for every route but /healthz (or WMZ_SERVE_TOKEN).
+    # Tokens ride plaintext HTTP: front with a TLS-terminating proxy
+    # before binding beyond localhost.
+    auth_token: str = ""
     num_frames: int = 8  # generated frames per request
     num_iterations: int = 30  # unmask iterations per frame (main2.py:81)
     topk: int = -1
@@ -84,7 +88,12 @@ def run(cfg: ServeHTTPConfig):
         raise ValueError("--checkpoint (video-diffusion run) is required")
 
     svc, step = build_service(cfg)
-    server = RolloutHTTPServer(svc, host=cfg.host, port=cfg.port)
+    import os
+
+    token = cfg.auth_token or os.environ.get("WMZ_SERVE_TOKEN", "")
+    server = RolloutHTTPServer(
+        svc, host=cfg.host, port=cfg.port, auth_token=token
+    )
     print(
         f"serving step-{step} checkpoint on http://{cfg.host}:{server.port} "
         f"(batch<= {cfg.batch_size}, {cfg.num_frames} frames/request, "

@@ -62,10 +62,22 @@ class RolloutHTTPServer:
     `start()` serves in a daemon thread; `shutdown()` stops the listener
     and closes every open session (the service itself is NOT closed — the
     caller owns its lifecycle).
+
+    `auth_token` (optional) requires `Authorization: Bearer <token>` on
+    every route except /healthz (load-balancer probes); requests without
+    it get 401. Tokens ride plaintext HTTP — pair with a TLS-terminating
+    reverse proxy before leaving localhost.
     """
 
-    def __init__(self, service, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        service,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        auth_token: str = "",
+    ):
         self.service = service
+        self.auth_token = auth_token
         self._sessions: dict = {}
         self._lock = threading.Lock()
         self._next_id = 0
@@ -131,6 +143,23 @@ class _Handler(BaseHTTPRequestHandler):
 
     def log_message(self, *args):  # quiet by default; stats carry the info
         pass
+
+    def _authorized(self) -> bool:
+        """Bearer-token check (when the server has one configured).
+        /healthz stays open for liveness probes."""
+        import hmac
+
+        token = self.fe.auth_token
+        if not token or self.path == "/healthz":
+            return True
+        got = self.headers.get("Authorization", "")
+        if got.startswith("Bearer ") and hmac.compare_digest(
+            got[len("Bearer "):], token
+        ):
+            return True
+        self._drain_body()
+        self._error(401, "missing or invalid Authorization bearer token")
+        return False
 
     def _send(self, code: int, body: bytes, ctype: str):
         self.send_response(code)
@@ -201,6 +230,8 @@ class _Handler(BaseHTTPRequestHandler):
     # --------------------------------------------------------------- routes
 
     def do_GET(self):
+        if not self._authorized():
+            return
         self._drain_body()
         if self.path == "/healthz":
             return self._json(200, {"ok": True})
@@ -214,6 +245,8 @@ class _Handler(BaseHTTPRequestHandler):
         return self._error(404, f"unknown path {self.path}")
 
     def do_POST(self):
+        if not self._authorized():
+            return
         if self.path == "/v1/generate":
             seed = self._read_array()
             if seed is None:
@@ -267,6 +300,8 @@ class _Handler(BaseHTTPRequestHandler):
         return self._error(404, f"unknown path {self.path}")
 
     def do_DELETE(self):
+        if not self._authorized():
+            return
         self._drain_body()
         m = _SESSION_RE.match(self.path)
         if m and not m.group(2):
@@ -303,21 +338,22 @@ def _request(
 
 def http_generate(
     base_url: str, seed_clip: np.ndarray, timeout: float = 600.0,
-    queue_timeout_s: Optional[float] = None,
+    queue_timeout_s: Optional[float] = None, token: str = "",
 ) -> np.ndarray:
     """One-shot generate against a running front-end.
 
     `queue_timeout_s` sets the server-side queue deadline (X-Timeout-S);
-    an expired request gets a 503 instead of a late result.
+    an expired request gets a 503 instead of a late result. `token` is
+    the server's bearer auth token (when it has one configured).
     """
+    headers = {}
+    if queue_timeout_s is not None:
+        headers["X-Timeout-S"] = str(queue_timeout_s)
+    if token:
+        headers["Authorization"] = f"Bearer {token}"
     return _request(
         f"{base_url}/v1/generate", "POST", _npy_bytes(seed_clip),
-        NPY_CONTENT_TYPE, timeout,
-        headers=(
-            {"X-Timeout-S": str(queue_timeout_s)}
-            if queue_timeout_s is not None
-            else None
-        ),
+        NPY_CONTENT_TYPE, timeout, headers=headers or None,
     )
 
 
@@ -325,25 +361,28 @@ class HTTPSession:
     """Client-side handle for a streaming session."""
 
     def __init__(self, base_url: str, seed_clip: np.ndarray,
-                 timeout: float = 600.0):
+                 timeout: float = 600.0, token: str = ""):
         self._base = base_url
         self._timeout = timeout
+        self._headers = (
+            {"Authorization": f"Bearer {token}"} if token else None
+        )
         resp = _request(
             f"{base_url}/v1/sessions", "POST", _npy_bytes(seed_clip),
-            NPY_CONTENT_TYPE, timeout,
+            NPY_CONTENT_TYPE, timeout, headers=self._headers,
         )
         self.session_id = resp["session_id"]
 
     def generate(self) -> np.ndarray:
         return _request(
             f"{self._base}/v1/sessions/{self.session_id}/generate",
-            "POST", b"", None, self._timeout,
+            "POST", b"", None, self._timeout, headers=self._headers,
         )
 
     def close(self):
         _request(
             f"{self._base}/v1/sessions/{self.session_id}", "DELETE",
-            timeout=self._timeout,
+            timeout=self._timeout, headers=self._headers,
         )
 
     def __enter__(self):
