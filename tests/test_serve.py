@@ -189,3 +189,25 @@ def test_serve_deadline_sheds_stale_requests(stack):
     assert svc.stats["expired"] == 1
     # the expired request must not have been padded into a program
     assert svc.stats["requests"] == 3
+
+
+def test_serve_adaptive_wait_skips_for_slow_arrivals(stack):
+    """adaptive_wait: when the observed arrival rate cannot fill a batch
+    within max_wait_s, the worker runs what it has instead of idling."""
+    import time
+
+    rng = np.random.default_rng(4)
+    clip = rng.uniform(size=(S, IMG, IMG, C)).astype(np.float32)
+    with _service(stack, max_wait_s=2.0, adaptive_wait=True) as svc:
+        # prime the arrival-rate estimate: ~1 s gaps, batch_size 4 would
+        # need ~3 s of waiting > max_wait 2 s
+        svc.submit(clip).result(timeout=300)  # also warms the size-1 prog
+        time.sleep(1.0)
+        svc.submit(clip).result(timeout=120)
+        time.sleep(1.0)
+        t0 = time.monotonic()
+        svc.submit(clip).result(timeout=120)
+        latency = time.monotonic() - t0
+    assert svc.stats["wait_skipped"] >= 1
+    # the lone request did not pay the 2 s coalescing wait
+    assert latency < 1.9, latency

@@ -49,6 +49,9 @@ class ServeHTTPConfig:
     topk: int = -1
     batch_size: int = 8  # max coalesced batch (power-of-two ladder below)
     max_wait_s: float = 0.05
+    # serve lone requests immediately when the arrival rate cannot fill a
+    # batch within max_wait_s anyway (serve.py adaptive_wait)
+    adaptive_wait: bool = False
     manual_seed: int = 0
 
 
@@ -74,6 +77,7 @@ def build_service(cfg: ServeHTTPConfig):
         sample_topk=cfg.topk,
         batch_size=cfg.batch_size,
         max_wait_s=cfg.max_wait_s,
+        adaptive_wait=cfg.adaptive_wait,
         seed=cfg.manual_seed,
     )
     return svc, step

@@ -104,6 +104,12 @@ class RolloutService:
         up to it (lazily, first use of each size pays its compile).
       max_wait_s: max time the worker waits to fill a batch after the
         first request arrives.
+      adaptive_wait: skip the coalescing wait when the EWMA request
+        arrival rate cannot fill the batch within max_wait_s anyway — a
+        lone request on a mostly-idle service is served immediately
+        instead of idling the device for the full wait. Off by default:
+        it trades coalescing strength right after bursts follow idle
+        periods (the EWMA sees the idle gap) for tail latency.
       seed: PRNG seed for the sampling key stream.
     """
 
@@ -119,6 +125,7 @@ class RolloutService:
         sample_topk: int = -1,
         batch_size: int = 8,
         max_wait_s: float = 0.05,
+        adaptive_wait: bool = False,
         seed: int = 0,
     ):
         from world_modelz_tpu.diffusion import rollout_frames
@@ -128,6 +135,7 @@ class RolloutService:
         self._params = params
         self._batch_size = int(batch_size)
         self._max_wait_s = float(max_wait_s)
+        self._adaptive_wait = bool(adaptive_wait)
         self._queue: "queue.Queue" = queue.Queue()
         self._key = jax.random.PRNGKey(seed)
         self._closed = False
@@ -139,7 +147,14 @@ class RolloutService:
             "encoded_clips": 0,  # pixel seed clips pushed through encode
             "session_rows": 0,  # rows served from cached token contexts
             "expired": 0,  # requests shed at their queue deadline
+            "wait_skipped": 0,  # batches run early (arrival-rate adaptive)
         }
+        # EWMA of request inter-arrival time: lets the worker skip the
+        # coalescing wait when the observed rate cannot fill the batch
+        # within max_wait_s anyway (a lone request on an idle service no
+        # longer pays the full wait)
+        self._ewma_gap: Optional[float] = None
+        self._last_arrival: Optional[float] = None
 
         k = tok.num_embeddings
 
@@ -232,6 +247,15 @@ class RolloutService:
         with self._lifecycle:
             if self._closed:
                 raise RuntimeError("service is closed")
+            now = _now()
+            if self._last_arrival is not None:
+                gap = now - self._last_arrival
+                self._ewma_gap = (
+                    gap
+                    if self._ewma_gap is None
+                    else 0.7 * self._ewma_gap + 0.3 * gap
+                )
+            self._last_arrival = now
             self._queue.put((item, fut, deadline))
         return fut
 
@@ -259,6 +283,29 @@ class RolloutService:
             if not self._expired(first):
                 break
         batch = [first]
+        # always coalesce what is ALREADY queued (free), then decide
+        # whether waiting for more can plausibly pay off
+        while len(batch) < self._batch_size:
+            try:
+                entry = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if entry is None:
+                self._queue.put(None)  # keep the shutdown signal
+                return batch
+            if not self._expired(entry):
+                batch.append(entry)
+        gap = self._ewma_gap
+        if (
+            self._adaptive_wait
+            and len(batch) < self._batch_size
+            and gap is not None
+            and (self._batch_size - len(batch)) * gap > self._max_wait_s
+        ):
+            # observed arrival rate cannot fill the batch inside the wait
+            # budget: run what we have now instead of idling the device
+            self.stats["wait_skipped"] += 1
+            return batch
         deadline = _now() + self._max_wait_s
         while len(batch) < self._batch_size:
             timeout = deadline - _now()
