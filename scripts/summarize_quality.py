@@ -68,7 +68,9 @@ def table(rows) -> str:
             )
         else:
             g = "— | — | — | —"
-        lines.append(f"| {step // 1000}k | {g} | {fmt_fvd(r.get('fvd'))} |")
+        lines.append(
+            f"| {step / 1000:g}k | {g} | {fmt_fvd(r.get('fvd'))} |"
+        )
     return "\n".join(lines)
 
 
