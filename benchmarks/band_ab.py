@@ -103,17 +103,23 @@ def main():
             return dq + dk + dv
         return step
 
+    def try_bench(tag, step):
+        # a variant the router would not pick (e.g. unbanded 32x32) can
+        # exceed the scoped-VMEM limit at compile time; record and move on
+        try:
+            us = benchmark_chained(
+                step, x0, iters_short=40, iters_long=240, trials=3
+            ) * 1e6
+            print(f"{tag}: {us:.1f} us")
+        except Exception as e:  # noqa: BLE001 — remote-compile errors vary
+            msg = str(e).splitlines()[0][:100]
+            print(f"{tag}: compile/run failed ({msg})")
+
     for qt in (None, 8, 4):
         if qt is not None and (qt >= h or h % qt):
             continue
-        us = benchmark_chained(
-            fwd_pf(qt), x0, iters_short=40, iters_long=240, trials=3
-        ) * 1e6
-        print(f"fwd per-frame qt={qt}: {us:.1f} us")
-        us = benchmark_chained(
-            bwd_pf(qt), x0, iters_short=40, iters_long=240, trials=3
-        ) * 1e6
-        print(f"bwd per-frame qt={qt}: {us:.1f} us")
+        try_bench(f"fwd per-frame qt={qt}", fwd_pf(qt))
+        try_bench(f"bwd per-frame qt={qt}", bwd_pf(qt))
 
     # H-tiled variant (the routed BACKWARD at 32x32+; its key-row banding
     # shipped round 3 — this block records the banded numbers)

@@ -123,6 +123,30 @@ def test_video_diffusion_cli_sequence_parallel(tokenizer_ckpt, tmp_path):
     assert any(f.endswith("_base.png") for f in files)
 
 
+def test_video_diffusion_cli_fsdp(tokenizer_ckpt, tmp_path):
+    """Training with --fsdp: params/EMA/optimizer moments sharded over
+    'data' (parallel/fsdp.py), full loop incl. checkpoint + resume
+    restore path."""
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = VideoDiffusionConfig(
+        dataset="synthetic", decoder_model=tokenizer_ckpt,
+        batch_size=8, n_past=3, fsdp=True, image_size=32, max_steps=6,
+        warmup=2, dim=64, extents=(1, 1, 1), depth=1, mlp_dim=64,
+        dim_head=8, heads=2, eval_interval=6, eval_timesteps=1,
+        eval_batch_size=2, num_eval_iterations=2, checkpoint_interval=6,
+        log_interval=3, histogram_interval=0, buffer_size=150,
+        output_dir=out, name="vdf",
+    )
+    train(cfg)
+    files = os.listdir(out)
+    assert any(f.startswith("step_") for f in files)
+
+
 def test_sparse_diffusion_cli(tokenizer_ckpt, tmp_path):
     from world_modelz_tpu.cli.sparse_diffusion import (
         SparseDiffusionConfig,

@@ -154,6 +154,9 @@ class SparseDiffusionConfig:
     moe_aux_weight: float = 1e-2  # load-balance loss weight
 
     n_model: int = 1
+    # ZeRO/FSDP: shard params + EMA + optimizer moments over the 'data'
+    # axis (parallel/fsdp.py); composes with --n_model tensor parallelism
+    fsdp: bool = False
     # pipeline parallelism over the transformer depth (parallel/pipeline.py):
     # n_pipe stages stream n_micro microbatches; depth % n_pipe == 0 and
     # batch_size % n_micro == 0. Deterministic path (dropout 0).
@@ -250,6 +253,12 @@ def train(cfg: SparseDiffusionConfig):
             "--moe_experts cannot combine with --n_pipe (the pipelined "
             "forward does not thread the MoE aux-loss collection)"
         )
+    if cfg.fsdp and cfg.n_pipe > 1:
+        raise ValueError(
+            "--fsdp cannot combine with --n_pipe: pipeline stages own "
+            "their params per 'pipe' device; gathering them over 'data' "
+            "would serialize the schedule"
+        )
     model = VqSparseDiffusionModel(
         shape=shape,
         num_classes=num_embeddings,
@@ -309,8 +318,19 @@ def train(cfg: SparseDiffusionConfig):
         print(f"warm start from {cfg.init_from} (step {at_step} weights; "
               "fresh optimizer, step 0)")
 
-    p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
+    if cfg.fsdp:
+        from world_modelz_tpu.parallel import (
+            fsdp_shardings,
+            opt_state_shardings,
+        )
+
+        p_shard = fsdp_shardings(params, mesh, DEFAULT_TP_RULES)
+        opt_shard = opt_state_shardings(opt_state, params, p_shard, mesh)
+    else:
+        p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
+        opt_shard = replicated(mesh)
     params = jax.device_put(params, p_shard)
+    opt_state = jax.device_put(opt_state, opt_shard)
     if tok_state is not None:
         tok_state = jax.device_put(tok_state, replicated(mesh))
     if ema_params is not None:
@@ -524,7 +544,7 @@ def train(cfg: SparseDiffusionConfig):
             jax.device_put(restored["ema"], p_shard)
             if ema_params is not None
             else None,
-            jax.device_put(restored["opt_state"], replicated(mesh)),
+            jax.device_put(restored["opt_state"], opt_shard),
             jax.device_put(restored["sampler"], replicated(mesh)),
         )
 

@@ -48,7 +48,9 @@ from world_modelz_tpu.parallel import (
     DEFAULT_TP_RULES,
     batch_sharding,
     clip_sharding,
+    fsdp_shardings,
     make_mesh,
+    opt_state_shardings,
     replicated,
     shard_params,
 )
@@ -156,6 +158,9 @@ class VideoDiffusionConfig:
 
     n_model: int = 1
     n_seq: int = 1  # sequence-parallel shards of the frame axis
+    # ZeRO/FSDP: shard params + EMA + optimizer moments over the 'data'
+    # axis (parallel/fsdp.py); composes with --n_model tensor parallelism
+    fsdp: bool = False
     wandb: bool = False
     project: str = "vq-video-diffusion"
     tags: str = ""
@@ -465,10 +470,18 @@ def train(cfg: VideoDiffusionConfig):
                 print("input pipeline resumed from", gs)
         print(f"resumed from {cfg.checkpoint} at step {start_step}")
 
-    # shard: params/opt replicated or tensor-parallel; batch over 'data'
-    p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
-    params = jax.device_put(params, p_shard)
+    # shard: params/opt replicated, tensor-parallel, or FSDP (params +
+    # EMA + optimizer moments split over 'data'); batch over 'data'
     repl = replicated(mesh)
+    if cfg.fsdp:
+        p_shard = fsdp_shardings(params, mesh, DEFAULT_TP_RULES)
+        opt_shard = opt_state_shardings(opt_state, params, p_shard, mesh)
+    else:
+        p_shard = shard_params(params, mesh, DEFAULT_TP_RULES)
+        opt_shard = repl
+    params = jax.device_put(params, p_shard)
+    if not cfg.eval:
+        opt_state = jax.device_put(opt_state, opt_shard)
     tok_state = jax.device_put(tok_state, repl)
     sampler_state = jax.device_put(sampler_state, repl)
     if ema_params is not None:
@@ -641,7 +654,7 @@ def train(cfg: VideoDiffusionConfig):
             jax.device_put(restored["ema"], p_shard)
             if ema_params is not None
             else None,
-            jax.device_put(restored["opt_state"], repl),
+            jax.device_put(restored["opt_state"], opt_shard),
             jax.device_put(restored["sampler"], repl),
         )
 

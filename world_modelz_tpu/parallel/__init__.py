@@ -25,6 +25,10 @@ from world_modelz_tpu.parallel.moe import (
     moe_ffn,
     moe_init,
 )
+from world_modelz_tpu.parallel.fsdp import (
+    fsdp_shardings,
+    opt_state_shardings,
+)
 from world_modelz_tpu.parallel.distributed import (
     initialize_distributed,
     shard_host_batch,
@@ -48,6 +52,8 @@ __all__ = [
     "pipeline_apply",
     "stack_stage_params",
     "unmicrobatch",
+    "fsdp_shardings",
+    "opt_state_shardings",
     "initialize_distributed",
     "shard_host_batch",
 ]

@@ -117,6 +117,25 @@ def _flatten_paths(tree: Any) -> Dict[Tuple, str]:
     return out
 
 
+def rule_spec(path_str: str, leaf: Any, mesh: Mesh,
+              rules: Sequence[Tuple[str, P]]) -> P:
+    """PartitionSpec for one leaf under `rules` (regex search on the
+    "/"-joined path, first match wins; indivisible matches and unmatched
+    leaves fall back to replication)."""
+    for pattern, spec in rules:
+        if re.search(pattern, path_str):
+            ok = True
+            for dim, axis in enumerate(spec):
+                if axis is None:
+                    continue
+                size = mesh.shape[axis]
+                if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+                    ok = False
+                    break
+            return spec if ok else P()
+    return P()
+
+
 def shard_params(
     params: Any,
     mesh: Mesh,
@@ -132,22 +151,9 @@ def shard_params(
     path_strs = _flatten_paths(params)
 
     def spec_for(path, leaf):
-        s = path_strs[tuple(path)]
-        for pattern, spec in rules:
-            if re.search(pattern, s):
-                # validate divisibility
-                ok = True
-                for dim, axis in enumerate(spec):
-                    if axis is None:
-                        continue
-                    size = mesh.shape[axis]
-                    if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
-                        ok = False
-                        break
-                if ok:
-                    return NamedSharding(mesh, spec)
-                return NamedSharding(mesh, P())
-        return NamedSharding(mesh, P())
+        return NamedSharding(
+            mesh, rule_spec(path_strs[tuple(path)], leaf, mesh, rules)
+        )
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(params)
     shardings = [spec_for(path, leaf) for path, leaf in flat]
