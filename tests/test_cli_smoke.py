@@ -168,6 +168,59 @@ def test_sparse_diffusion_cli(tokenizer_ckpt, tmp_path):
     )
 
 
+def test_sparse_diffusion_cli_grain_pipeline(tokenizer_ckpt, tmp_path):
+    """--data_pipeline grain over the trajectory source: deterministic
+    record stream (data/trajectory.py TrajectoryClipDataset) with the
+    consumed position sidecar'd into each checkpoint and restored."""
+    from world_modelz_tpu.cli.sparse_diffusion import (
+        SparseDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = SparseDiffusionConfig(
+        decoder_model=tokenizer_ckpt, data_pipeline="grain",
+        batch_size=2, eval_batch_size=1,
+        max_steps=4, warmup=2, S=4, H=8, W=8, image_size=32,
+        num_context=16, dim=16, mlp_dim=16, heads=2, depth=1,
+        eval_interval=0, checkpoint_interval=4, log_interval=2,
+        output_dir=out, name="sdg",
+    )
+    train(cfg)
+    ckpt = os.path.join(out, "step_0000004")
+    assert os.path.exists(os.path.join(ckpt, "grain_state.json"))
+
+    cfg2 = dataclasses.replace(cfg, checkpoint=ckpt, max_steps=8)
+    train(cfg2)
+    assert os.path.isdir(os.path.join(out, "step_0000008"))
+
+
+def test_video_diffusion_cli_grain_trajectory(tokenizer_ckpt, tmp_path):
+    """The video trainer's --data_pipeline grain over a trajectory source
+    (synthetic): uint8 record stream through the standard clip_fn path."""
+    from world_modelz_tpu.cli.video_diffusion import (
+        VideoDiffusionConfig,
+        train,
+    )
+
+    out = str(tmp_path)
+    cfg = VideoDiffusionConfig(
+        dataset="synthetic", data_pipeline="grain",
+        decoder_model=tokenizer_ckpt,
+        batch_size=8, n_past=2, image_size=32, max_steps=4, warmup=2,
+        dim=16, extents=(1, 1, 1), depth=1, mlp_dim=16, dim_head=8,
+        heads=2, eval_interval=4, eval_timesteps=1, eval_batch_size=2,
+        num_eval_iterations=2, checkpoint_interval=4, log_interval=2,
+        histogram_interval=0, output_dir=out, name="vdgt",
+    )
+    train(cfg)
+    files = os.listdir(out)
+    assert any(f.startswith("step_") for f in files)
+    assert os.path.exists(
+        os.path.join(out, "step_0000004", "grain_state.json")
+    )
+
+
 def test_sparse_diffusion_cli_fused_dispatch(tokenizer_ckpt, tmp_path):
     """--steps_per_dispatch: fused k-step programs must respect the
     change_batch_interval boundary (batch refresh at steps == 1 mod cbi)

@@ -290,3 +290,33 @@ def test_as_frames_formats():
     out = np.asarray(as_frames(traj, 8))
     assert out.shape == (1, 2, 8, 8, 1)
     assert out[0, 0, 0, 0, 0] == 1.0 and out[0, 0, 4, 4, 0] == 0.0
+
+
+def test_trajectory_clip_dataset_random_access():
+    """TrajectoryClipDataset: record i is a pure function of (seed, i)
+    (Grain's random-access contract), clips match the sampler format, and
+    the Grain wrapper's iterator state resumes mid-stream exactly."""
+    from world_modelz_tpu.data.grain_pipeline import GrainClipPipeline
+    from world_modelz_tpu.data.trajectory import (
+        SyntheticTrajectorySource,
+        TrajectoryClipDataset,
+    )
+
+    src = SyntheticTrajectorySource(
+        num_trajectories=3, traj_frames=60, frame_size=32, seed=1
+    )
+    ds = TrajectoryClipDataset(
+        src, traj_len=5, skip_frames=1, examples_per_epoch=50, seed=9
+    )
+    a, b = ds[11], ds[11]
+    assert a.shape == (5, 32, 32, 3) and a.dtype == np.uint8
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, ds[12])
+
+    pipe = GrainClipPipeline(ds, 4, seed=3)
+    pipe.sample_batch()
+    state = pipe.get_state()
+    nxt = pipe.sample_batch()
+    pipe2 = GrainClipPipeline(ds, 4, seed=3)
+    pipe2.set_state(state)
+    np.testing.assert_array_equal(nxt, pipe2.sample_batch())

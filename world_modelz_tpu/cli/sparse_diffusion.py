@@ -128,6 +128,12 @@ class SparseDiffusionConfig:
     buffer_size: int = 75_000
     max_segment_length: int = 1000
     skip_frames: int = 2
+    # "native" = BufferedTrajectorySampler; "grain" = deterministic,
+    # checkpointable record stream over a random-access clip view of the
+    # same trajectory source (data/trajectory.py TrajectoryClipDataset;
+    # the record position rides each checkpoint and restores on resume)
+    data_pipeline: str = "native"
+    data_workers: int = 0  # grain worker processes (0 = in-process)
 
     dim: int = 512
     mlp_dim: int = 1024
@@ -239,14 +245,28 @@ def train(cfg: SparseDiffusionConfig):
             traj_frames=max(3 * cfg.S * (cfg.skip_frames + 1), 200),
             frame_size=cfg.image_size,
         )
-    sampler = BufferedTrajectorySampler(
-        src,
-        buffer_size=cfg.buffer_size,
-        max_segment_length=cfg.max_segment_length,
-        traj_len=cfg.S,
-        skip_frames=cfg.skip_frames,
-        seed=cfg.manual_seed,
-    )
+    if cfg.data_pipeline == "grain":
+        from world_modelz_tpu.data.grain_pipeline import GrainClipPipeline
+        from world_modelz_tpu.data.trajectory import TrajectoryClipDataset
+
+        sampler = GrainClipPipeline(
+            TrajectoryClipDataset(
+                src, traj_len=cfg.S, skip_frames=cfg.skip_frames,
+                seed=cfg.manual_seed,
+            ),
+            cfg.batch_size,
+            seed=cfg.manual_seed,
+            worker_count=cfg.data_workers,
+        )
+    else:
+        sampler = BufferedTrajectorySampler(
+            src,
+            buffer_size=cfg.buffer_size,
+            max_segment_length=cfg.max_segment_length,
+            traj_len=cfg.S,
+            skip_frames=cfg.skip_frames,
+            seed=cfg.manual_seed,
+        )
 
     if cfg.moe_experts > 0 and cfg.n_pipe > 1:
         raise ValueError(
@@ -304,6 +324,12 @@ def train(cfg: SparseDiffusionConfig):
         ema_params = restored["ema"] if cfg.ema_decay > 0 else None
         opt_state = restored["opt_state"]
         sampler_state = restored["sampler"]
+        if hasattr(sampler, "set_state"):
+            gs = os.path.join(cfg.checkpoint, "grain_state.json")
+            if os.path.exists(gs):
+                with open(gs, "rb") as f:
+                    sampler.set_state(f.read())
+                print("input pipeline resumed from", gs)
         print(f"resumed from {cfg.checkpoint} at step {start_step}")
     elif cfg.init_from:
         # weights only: no target, so any optimizer/sampler layout (or
@@ -558,6 +584,10 @@ def train(cfg: SparseDiffusionConfig):
         # (overlaps the current dispatches); external (host) tokenizer
         # consumes numpy, so keep batches on host
         device_put=ext_tok is None,
+        # grain: the CONSUMED record position rides each checkpoint
+        state_fn=(
+            sampler.get_state if hasattr(sampler, "get_state") else None
+        ),
     )
     rejected = 0
     batch_z = None
@@ -713,6 +743,7 @@ def train(cfg: SparseDiffusionConfig):
                 tt = time.perf_counter()
                 # async: snapshot to fresh device buffers, write in the
                 # background; the timer charges only the host-blocking part
+                grain_state = batches.consumed_state()
                 path = saver.save(
                     cfg.output_dir,
                     step,
@@ -723,6 +754,11 @@ def train(cfg: SparseDiffusionConfig):
                         "sampler": sampler_state,
                     },
                     config_to_dict(cfg),
+                    extra_files=(
+                        {"grain_state.json": grain_state}
+                        if grain_state is not None
+                        else None
+                    ),
                 )
                 timers["checkpoint"] += time.perf_counter() - tt
                 print("checkpoint:", path)

@@ -208,15 +208,6 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
         # uint8-native shipping; step_body / evaluate_and_save normalize
         # on device (4x less relay traffic than float32 clips)
         return lambda b: ds.sample_batch_u8(rng, b), None
-    if cfg.data_pipeline == "grain":
-        # the trajectory sources are streaming (no __len__/__getitem__), so
-        # Grain's random-access sampler cannot index them; fail loudly
-        # rather than silently training on the non-checkpointable sampler
-        raise ValueError(
-            f"--data_pipeline grain is not supported for dataset "
-            f"{cfg.dataset!r} (random-access sources only; use "
-            "moving_mnist or --data_pipeline native)"
-        )
     if cfg.dataset in ("synthetic", "minerl", "video"):
         if cfg.dataset == "minerl":
             from world_modelz_tpu.data.trajectory import MineRLTrajectorySource
@@ -234,6 +225,27 @@ def build_clip_fn(cfg: VideoDiffusionConfig, seed: int):
             )
         else:
             src = SyntheticTrajectorySource(frame_size=cfg.image_size)
+        if cfg.data_pipeline == "grain":
+            # deterministic random-access clip view over the trajectory
+            # source (data/trajectory.py TrajectoryClipDataset): resumes
+            # exactly, shards across hosts, unlike the thread sampler
+            from world_modelz_tpu.data.grain_pipeline import (
+                GrainClipPipeline,
+            )
+            from world_modelz_tpu.data.trajectory import (
+                TrajectoryClipDataset,
+            )
+
+            ds = TrajectoryClipDataset(
+                src, traj_len=cfg.n_past + 1,
+                skip_frames=cfg.skip_frames, seed=seed,
+            )
+            pipe = GrainClipPipeline(
+                ds, cfg.batch_size, seed=seed,
+                worker_count=cfg.data_workers,
+            )
+            # uint8 clips; as_frames normalizes on device
+            return lambda b: pipe.sample_batch(b), pipe
         sampler = BufferedTrajectorySampler(
             src,
             buffer_size=cfg.buffer_size,
@@ -388,7 +400,7 @@ def train(cfg: VideoDiffusionConfig):
     # position). The procedural moving_mnist source is cheap to duplicate;
     # the buffered trajectory samplers are thread-safe and heavyweight, so
     # those keep sharing the train stream.
-    if cfg.dataset == "moving_mnist":
+    if cfg.dataset == "moving_mnist" or cfg.data_pipeline == "grain":
         eval_clip_fn, _ = build_clip_fn(cfg, cfg.manual_seed + 101)
     else:
         eval_clip_fn = clip_fn

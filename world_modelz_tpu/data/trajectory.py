@@ -374,3 +374,100 @@ class BufferedTrajectorySampler:
             self._queue.get_nowait()
         except queue.Empty:
             pass
+
+
+class TrajectoryClipDataset:
+    """Random-access (Grain-compatible) clip view over a TrajectorySource.
+
+    The samplers above are streaming: their shuffle/buffer state dies with
+    the process, so a resumed run replays or skips data. This dataset
+    instead makes record ``i`` a PURE function of ``(seed, i)`` — a
+    per-index RNG picks the trajectory and the clip offset — which is
+    exactly what Grain's random-access model needs for a deterministic,
+    checkpointable, shardable stream (``--data_pipeline grain``).
+
+    Decoding matches the buffered sampler: frames are kept every
+    ``skip_frames + 1`` steps (reference buffered_traj_sampler.py:54-61)
+    and a ``traj_len``-frame clip is sliced at the drawn offset. Decoded
+    trajectories pass through a small LRU so a worker's consecutive
+    records amortize the decode; with Grain worker processes each worker
+    owns its own cache.
+    """
+
+    def __init__(
+        self,
+        source: TrajectorySource,
+        traj_len: int = 16,
+        skip_frames: int = 2,
+        examples_per_epoch: int = 100_000,
+        cache_size: int = 4,
+        seed: int = 0,
+        max_draws: int = 8,
+    ):
+        from collections import OrderedDict
+
+        self.source = source
+        self.traj_len = traj_len
+        self.skip_frames = skip_frames
+        self.seed = seed
+        self.max_draws = max_draws
+        self._n = examples_per_epoch
+        self._names = list(source.trajectory_names())
+        self._cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+        self._cache_size = cache_size
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __repr__(self) -> str:
+        # Grain validates repr(data_source) when restoring iterator
+        # state; the default object repr embeds a memory address and
+        # would reject every legitimate resume
+        return (
+            f"TrajectoryClipDataset(source={type(self.source).__name__},"
+            f" n={self._n}, traj_len={self.traj_len},"
+            f" skip={self.skip_frames}, seed={self.seed})"
+        )
+
+    def _decoded(self, name: str) -> np.ndarray:
+        hit = self._cache.pop(name, None)
+        if hit is not None:
+            self._cache[name] = hit  # refresh LRU position
+            return hit
+        frames: List[np.ndarray] = []
+        skip = 0
+        for pov in self.source.load_frames(name):
+            if skip > 0:
+                skip -= 1
+            else:
+                frames.append(pov)
+                skip = self.skip_frames
+        arr = (
+            np.stack(frames)
+            if frames
+            else np.empty((0, 1, 1, 3), np.uint8)
+        )
+        self._cache[name] = arr
+        while len(self._cache) > self._cache_size:
+            self._cache.popitem(last=False)
+        return arr
+
+    def __getitem__(self, i: int) -> np.ndarray:
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, int(i)])
+        )
+        # per-index trajectory preference order; skip too-short ones the
+        # same way the buffered sampler does (len <= traj_len: continue)
+        order = rng.permutation(len(self._names))
+        for t in order[: self.max_draws]:
+            frames = self._decoded(self._names[int(t)])
+            if len(frames) > self.traj_len:
+                off = int(
+                    rng.integers(0, len(frames) - self.traj_len + 1)
+                )
+                return frames[off : off + self.traj_len]
+        raise ValueError(
+            f"no trajectory longer than traj_len={self.traj_len} "
+            f"(post-skip) in {self.max_draws} draws — shorten traj_len "
+            f"or lower skip_frames"
+        )
