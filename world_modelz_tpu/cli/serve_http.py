@@ -35,7 +35,11 @@ from world_modelz_tpu.utils.config import config_from_dict
 
 @dataclasses.dataclass
 class ServeHTTPConfig:
-    checkpoint: str = ""  # video-diffusion checkpoint (required)
+    checkpoint: str = ""  # video-diffusion checkpoint (this or --exported)
+    # AOT artifact dir (cli/export_rollout.py): serve WITHOUT the
+    # checkpoint or model code; num_frames/iterations/topk come from the
+    # artifact and the related flags below are ignored
+    exported: str = ""
     platform: str = ""
     use_ema: bool = False
     host: str = "127.0.0.1"
@@ -56,8 +60,21 @@ class ServeHTTPConfig:
 
 
 def build_service(cfg: ServeHTTPConfig):
-    """Checkpoint -> ready RolloutService (shared by CLI and tests)."""
+    """Checkpoint or artifact -> ready RolloutService (CLI + tests)."""
     from world_modelz_tpu.serve import RolloutService
+
+    if cfg.exported:
+        from world_modelz_tpu.aot import AOTPrograms
+
+        progs = AOTPrograms.load(cfg.exported)
+        svc = RolloutService(
+            programs=progs,
+            batch_size=min(cfg.batch_size, max(progs.sizes)),
+            max_wait_s=cfg.max_wait_s,
+            adaptive_wait=cfg.adaptive_wait,
+            seed=cfg.manual_seed,
+        )
+        return svc, f"aot:{cfg.exported}"
 
     state, step, config = restore_checkpoint(cfg.checkpoint)
     train_cfg = config_from_dict(VideoDiffusionConfig, config)
@@ -88,8 +105,11 @@ def run(cfg: ServeHTTPConfig):
 
     if cfg.platform:
         jax.config.update("jax_platforms", cfg.platform)
-    if not cfg.checkpoint:
-        raise ValueError("--checkpoint (video-diffusion run) is required")
+    if not cfg.checkpoint and not cfg.exported:
+        raise ValueError(
+            "--checkpoint (video-diffusion run) or --exported (AOT "
+            "artifact) is required"
+        )
 
     svc, step = build_service(cfg)
     import os

@@ -115,24 +115,36 @@ class RolloutService:
 
     def __init__(
         self,
-        tok: Any,
-        tok_state: Any,
-        model: Any,
-        params: Any,
+        tok: Any = None,
+        tok_state: Any = None,
+        model: Any = None,
+        params: Any = None,
         *,
-        num_frames: int,
+        num_frames: Optional[int] = None,
         num_iterations: int = 30,
         sample_topk: int = -1,
-        batch_size: int = 8,
+        batch_size: Optional[int] = None,
         max_wait_s: float = 0.05,
         adaptive_wait: bool = False,
         seed: int = 0,
+        programs: Any = None,  # aot.AOTPrograms: serve WITHOUT model code
     ):
         from world_modelz_tpu.diffusion import rollout_frames
 
         self._tok = tok
         self._tok_state = tok_state
         self._params = params
+        if programs is not None:
+            # AOT artifact: frames/iterations/ladder are baked into the
+            # exported programs; the caller may only CAP the batch size
+            if batch_size is None:
+                batch_size = max(programs.sizes)
+            num_frames = programs.meta["num_frames"]
+        elif num_frames is None:
+            raise TypeError("num_frames is required without `programs`")
+        elif batch_size is None:
+            batch_size = 8
+        self.num_frames = int(num_frames)
         self._batch_size = int(batch_size)
         self._max_wait_s = float(max_wait_s)
         self._adaptive_wait = bool(adaptive_wait)
@@ -156,42 +168,62 @@ class RolloutService:
         self._ewma_gap: Optional[float] = None
         self._last_arrival: Optional[float] = None
 
-        k = tok.num_embeddings
-
-        def encode_program(tok_state, seeds):
-            b, s, h, w, c = seeds.shape
-            tokens = tok.encode(tok_state, seeds.reshape(b * s, h, w, c))
-            return tokens.reshape(b, s, *tokens.shape[1:])
-
-        def rollout_program(params, tok_state, tokens, key):
-            b = tokens.shape[0]
-            gen = rollout_frames(
-                key,
-                lambda z: model.apply({"params": params}, z),
-                tokens,
-                num_frames=num_frames,
-                num_classes=k,
-                mask_token=k,
-                num_iterations=num_iterations,
-                sample_topk=sample_topk,
-            )  # (B, T, th, tw)
-            t = gen.shape[1]
-            decoded = tok.decode(
-                tok_state, gen.reshape(b * t, *gen.shape[2:])
+        if programs is not None:
+            self._encode_call = programs.encode
+            self._rollout_call = programs.rollout
+            self._sizes = sorted(
+                s for s in programs.sizes if s <= self._batch_size
             )
-            decoded = decoded.reshape(b, t, *decoded.shape[1:])
-            return decoded, rolled_context(tokens, gen)
+            if not self._sizes:
+                raise ValueError(
+                    f"batch_size {batch_size} below every exported size "
+                    f"{programs.sizes}"
+                )
+        else:
+            k = tok.num_embeddings
 
-        self._encode = jax.jit(encode_program)
-        self._rollout = jax.jit(rollout_program)
-        # compiled-size ladder: powers of two up to batch_size
-        sizes = []
-        s = 1
-        while s < self._batch_size:
-            sizes.append(s)
-            s *= 2
-        sizes.append(self._batch_size)
-        self._sizes = sorted(set(sizes))
+            def encode_program(tok_state, seeds):
+                b, s, h, w, c = seeds.shape
+                tokens = tok.encode(
+                    tok_state, seeds.reshape(b * s, h, w, c)
+                )
+                return tokens.reshape(b, s, *tokens.shape[1:])
+
+            def rollout_program(params, tok_state, tokens, key):
+                b = tokens.shape[0]
+                gen = rollout_frames(
+                    key,
+                    lambda z: model.apply({"params": params}, z),
+                    tokens,
+                    num_frames=num_frames,
+                    num_classes=k,
+                    mask_token=k,
+                    num_iterations=num_iterations,
+                    sample_topk=sample_topk,
+                )  # (B, T, th, tw)
+                t = gen.shape[1]
+                decoded = tok.decode(
+                    tok_state, gen.reshape(b * t, *gen.shape[2:])
+                )
+                decoded = decoded.reshape(b, t, *decoded.shape[1:])
+                return decoded, rolled_context(tokens, gen)
+
+            _encode = jax.jit(encode_program)
+            _rollout = jax.jit(rollout_program)
+            self._encode_call = lambda seeds: _encode(
+                self._tok_state, seeds
+            )
+            self._rollout_call = lambda tokens, key: _rollout(
+                self._params, self._tok_state, tokens, key
+            )
+            # compiled-size ladder: powers of two up to batch_size
+            sizes = []
+            s = 1
+            while s < self._batch_size:
+                sizes.append(s)
+                s *= 2
+            sizes.append(self._batch_size)
+            self._sizes = sorted(set(sizes))
         self._lifecycle = threading.Lock()  # orders submit() vs close()
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
@@ -215,7 +247,7 @@ class RolloutService:
     def open_session(self, seed_clip: np.ndarray) -> RolloutSession:
         """Encode the seed clip once; stream segments via the session."""
         seeds = jnp.asarray(np.asarray(seed_clip)[None])
-        ctx = np.asarray(self._encode(self._tok_state, seeds))[0]
+        ctx = np.asarray(self._encode_call(seeds))[0]
         self.stats["encoded_clips"] += 1
         return RolloutSession(self, ctx)
 
@@ -349,9 +381,7 @@ class RolloutService:
                     while len(clips) < psize:
                         clips.append(clips[-1])
                     enc = np.asarray(
-                        self._encode(
-                            self._tok_state, jnp.asarray(np.stack(clips))
-                        )
+                        self._encode_call(jnp.asarray(np.stack(clips)))
                     )
                     for j, i in enumerate(pix_idx):
                         contexts[i] = enc[j]
@@ -366,9 +396,7 @@ class RolloutService:
                     ctxs.append(ctxs[-1])
                 tokens = jnp.asarray(np.stack(ctxs))
                 self._key, sub = jax.random.split(self._key)
-                out, new_ctx = self._rollout(
-                    self._params, self._tok_state, tokens, sub
-                )
+                out, new_ctx = self._rollout_call(tokens, sub)
                 out = np.asarray(out)
                 new_ctx = np.asarray(new_ctx)
                 self.stats["requests"] += n
