@@ -152,6 +152,31 @@ def main():
     else:
         print("h-tiled: no valid TH at this shape")
 
+    # split (flash-style) backward: dQ pass + key-centric dK/dV pass,
+    # no partial slabs, no fold
+    from world_modelz_tpu.kernels.local3d import (
+        _bwd_impl_split,
+        pick_split_bands,
+    )
+
+    picked = pick_split_bands(s, h, w, extents, inner // heads, item)
+    print(f"split bands picked: {picked}")
+    for qt, kt in {
+        picked,
+        (picked[0] if picked else None, 4 if h % 4 == 0 else None),
+        (picked[0] if picked else None, 8 if h % 8 == 0 else None),
+    } - {None}:
+        if qt is None or kt is None:
+            continue
+
+        def bwd_split(x, qt=qt, kt=kt):
+            dq, dk, dv = _bwd_impl_split(
+                x, x, x, x, extents, heads, False, qt, kt
+            )
+            return dq + dk + dv
+
+        try_bench(f"bwd split qt={qt} kt={kt}", bwd_split)
+
 
 if __name__ == "__main__":
     main()

@@ -42,22 +42,37 @@ NEG_INF = -1e9
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
+def _part_dtype(q):
+    """Storage dtype for the partial dK/dV slabs the backward kernels
+    emit for the host-side fold. Each element is a single MXU pass's
+    f32-accumulated result; on the bf16 hot path storing it at bf16
+    halves the dominant HBM traffic of the backward (slab write + fold
+    read) at ~0.4% relative error per contribution, well inside bf16
+    gradient tolerance — the fold still accumulates in f32 and f32
+    inputs keep f32 slabs (exact parity with the XLA reference)."""
+    return jnp.float32 if q.dtype == jnp.float32 else q.dtype
+
+
 def fits_vmem(
     seq: int, height: int, width: int, extents: Tuple[int, int, int],
     dh: int, qt: int | None = None, bwd: bool = False,
+    itemsize: int = 4,
 ) -> bool:
     """Whether one full-frame grid program's working set fits the VMEM
     budget.
 
-    Forward per program: q + out (HW, dh), k/v blocks (Ts*HW, dh), and
-    two score-sized f32 intermediates — (HW, Ts*HW) unbanded, or
+    Forward per program: q + out (HW, dh) and k/v blocks (Ts*HW, dh) at
+    the operand dtype (`itemsize` — 2 on the bf16 hot path), plus two
+    score-sized f32 intermediates — (HW, Ts*HW) unbanded, or
     (qt*W, Ts*band*W) with a `qt`-row query band. The backward adds g,
-    dq, the f32 per-offset dK/dV slabs, and two low-precision score
-    casts — a substantially larger working set, which is why the fit is
-    direction-specific: at 32x32 e=(3,1,1) the BANDED FORWARD fits the
-    32-program per-frame grid while the backward must stay H-tiled.
-    When this is False the H-tiled variant takes over (`pick_h_tile`);
-    only if that is also impossible do callers fall back to XLA.
+    dq, the dK/dV slabs (f32 on-kernel accumulators PLUS their
+    operand-dtype output blocks), f32 dp/dscores, and two operand-dtype
+    score casts — a substantially larger working set, which is why the
+    fit is direction-specific: at 32x32 e=(3,1,1) the BANDED FORWARD
+    fits the 32-program per-frame grid while the backward must stay
+    H-tiled. When this is False the H-tiled variant takes over
+    (`pick_h_tile`); only if that is also impossible do callers fall
+    back to XLA.
     """
     hw = height * width
     es, eh, _ = extents
@@ -66,15 +81,16 @@ def fits_vmem(
     rows_q = qt * width
     rows_k = ts * min(height, qt + 2 * eh) * width
     score_bytes = rows_q * rows_k * 4 * 2  # scores/p + attn (f32)
-    kv_bytes = ts * hw * dh * 4 * 2  # k, v
-    q_bytes = hw * dh * 4 * 2  # q + out
+    kv_bytes = ts * hw * dh * itemsize * 2  # k, v
+    q_bytes = hw * dh * itemsize * 2  # q + out
     total = score_bytes + kv_bytes + q_bytes
     if bwd:
         total += (
-            hw * dh * 4 * 2  # g + dq
-            + ts * hw * dh * 4 * 2  # f32 dK/dV slab outputs
+            hw * dh * itemsize * 2  # g + dq
+            + ts * hw * dh * 4 * 2  # f32 dK/dV slab accumulators
+            + ts * hw * dh * itemsize * 2  # slab output blocks
             + rows_q * rows_k * 4 * 2  # dp + dscores
-            + rows_q * rows_k * 4 * 2  # ds_lo/at_lo casts (f32 headroom)
+            + rows_q * rows_k * itemsize * 2  # ds_lo/at_lo casts
         )
     return total <= _VMEM_BUDGET_BYTES
 
@@ -96,12 +112,12 @@ def _band_candidates(height: int, width: int, eh: int):
 
 def pick_frame_band(
     seq: int, height: int, width: int, extents: Tuple[int, int, int],
-    dh: int, bwd: bool = False,
+    dh: int, bwd: bool = False, itemsize: int = 4,
 ) -> int | None:
     """Query row band for the per-frame grid kernels, or None if even the
     narrowest band exceeds VMEM (callers then try the H-tiled variant)."""
     for qt in _band_candidates(height, width, extents[1]):
-        if fits_vmem(seq, height, width, extents, dh, qt, bwd):
+        if fits_vmem(seq, height, width, extents, dh, qt, bwd, itemsize):
             return qt
     return None
 
@@ -604,11 +620,13 @@ def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt=None):
         out_specs=[q_spec, kv_spec, kv_spec],
         out_shape=[
             jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
+            # fully accumulated on-kernel (f32 rows), so storing at the
+            # operand dtype adds no error beyond the final cast below
             jax.ShapeDtypeStruct(
-                (b * heads, s + 2 * es, hw, dh), jnp.float32
+                (b * heads, s + 2 * es, hw, dh), _part_dtype(q)
             ),
             jax.ShapeDtypeStruct(
-                (b * heads, s + 2 * es, hw, dh), jnp.float32
+                (b * heads, s + 2 * es, hw, dh), _part_dtype(q)
             ),
         ],
         interpret=interpret,
@@ -899,10 +917,10 @@ def _bwd_impl_tiled(q, k, v, g, extents, heads, interpret, th):
         out_shape=[
             jax.ShapeDtypeStruct((z, s, h, w, dh), q.dtype),
             jax.ShapeDtypeStruct(
-                (z, s, nq, ts, band * w, dh), jnp.float32
+                (z, s, nq, ts, band * w, dh), _part_dtype(q)
             ),
             jax.ShapeDtypeStruct(
-                (z, s, nq, ts, band * w, dh), jnp.float32
+                (z, s, nq, ts, band * w, dh), _part_dtype(q)
             ),
         ],
         interpret=interpret,
@@ -951,6 +969,324 @@ def _bwd_impl_tiled(q, k, v, g, extents, heads, interpret, th):
     return from_z(dq), from_z(dkz), from_z(dvz)
 
 
+# ---------------------------------------------------------------------------
+# Split (flash-style) backward: query-centric dQ pass + key-centric dK/dV
+# pass. Eliminates the partial dK/dV slabs and their host-side fold
+# entirely — at the Sber 32x32 shape the H-tiled backward's partial
+# write + fold read + per-tile slab refetches move ~1 GB of HBM per call
+# (the measured 1.1 ms is within 20% of that traffic at the v5e's
+# bandwidth), while the split moves ~0.3 GB. The price is recomputing the
+# scores/dp dots in both passes (7 MXU passes vs 5), cheap at these
+# memory-bound shapes. Standard flash-attention decomposition: pass 1
+# saves each query row's softmax log-sum-exp and delta = rowsum(dP*P);
+# pass 2 rebuilds attn = exp(scores - lse) per key tile.
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel_dq(
+    *refs, seq: int, height: int, width: int,
+    extents: Tuple[int, int, int], dh: int, qt: int
+):
+    """dQ + per-query-row softmax stats (lse, delta), banded like
+    `_bwd_kernel` but with no dK/dV work: 3 MXU passes, no slab outputs.
+    Stats are stored as (rows, 1) blocks — the natural sublane layout of
+    a lane-wise reduce; the impl re-lays them out for pass 2 in XLA."""
+    es, eh, ew = extents
+    ts = 2 * es + 1
+    s = pl.program_id(1)
+
+    q_ref = refs[0]
+    k_refs = refs[1 : 1 + ts]
+    v_refs = refs[1 + ts : 1 + 2 * ts]
+    g_ref = refs[1 + 2 * ts]
+    dq_ref = refs[2 + 2 * ts]
+    lse_ref = refs[3 + 2 * ts]
+    dl_ref = refs[4 + 2 * ts]
+
+    scale = dh**-0.5
+    for h0 in range(0, height, qt):
+        lo, hi = _band_bounds(height, eh, h0, qt)
+        q = q_ref[0, 0, h0 * width : (h0 + qt) * width]
+        g = g_ref[0, 0, h0 * width : (h0 + qt) * width]
+        k = jnp.concatenate(
+            [r[0, 0, lo * width : hi * width] for r in k_refs], axis=0
+        )
+        v = jnp.concatenate(
+            [r[0, 0, lo * width : hi * width] for r in v_refs], axis=0
+        )
+        scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        ok = _mask_band(seq, height, width, extents, s, h0, qt, lo, hi)
+        scores = jnp.where(ok, scores, NEG_INF)
+        m = jnp.max(scores, axis=-1, keepdims=True)
+        p = jnp.exp(scores - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        attn = p / l
+
+        dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        row = jnp.sum(dp * attn, axis=-1, keepdims=True)
+        dscores = attn * (dp - row)
+        ds_lo = dscores.astype(q.dtype)
+
+        sl = slice(h0 * width, (h0 + qt) * width)
+        dq_ref[0, 0, sl] = (
+            jnp.dot(ds_lo, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        lse_ref[0, 0, sl] = m + jnp.log(l)
+        dl_ref[0, 0, sl] = row
+
+
+def _mask_dkv_t(seq, height, width, extents, f, k0, kt, j):
+    """(kt*W, band*W) bool valid-mask, TRANSPOSED orientation (rows =
+    keys of tile [k0, k0+kt) in frame f; cols = padded query rows
+    [k0-eh, k0+kt+eh) of the frame at offset j-es). Transposing keeps
+    the per-query stats on the lane axis, where broadcasting is free."""
+    es, eh, ew = extents
+    band = kt + 2 * eh
+    rows_k = kt * width
+    cols_q = band * width
+    ki = jax.lax.broadcasted_iota(jnp.int32, (rows_k, cols_q), 0)
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows_k, cols_q), 1)
+    hk = k0 + ki // width
+    wk = ki % width
+    hq = k0 + qi // width - eh  # padded query row -> true row
+    wq = qi % width
+    fq = f + j - es
+    return (
+        (jnp.abs(hq - hk) <= eh)
+        & (jnp.abs(wq - wk) <= ew)
+        & (hq >= 0)
+        & (hq < height)
+        & (fq >= 0)
+        & (fq < seq)
+    )
+
+
+def _bwd_kernel_dkv(
+    *refs, seq: int, height: int, width: int,
+    extents: Tuple[int, int, int], dh: int, kt: int
+):
+    """Key-centric dK/dV: one program owns key frame f; for each kt-row
+    key tile it rebuilds attn from the saved lse against the ±eh query
+    row band of each of the Ts frame offsets and accumulates exact dK/dV
+    — no partial slabs, no fold. All dots run transposed (keys on
+    sublanes) so lse/delta broadcast along lanes."""
+    es, eh, ew = extents
+    ts = 2 * es + 1
+    f = pl.program_id(1)
+
+    k_ref, v_ref = refs[0], refs[1]
+    q_refs = refs[2 : 2 + ts]
+    g_refs = refs[2 + ts : 2 + 2 * ts]
+    lse_refs = refs[2 + 2 * ts : 2 + 3 * ts]
+    dl_refs = refs[2 + 3 * ts : 2 + 4 * ts]
+    dk_ref = refs[2 + 4 * ts]
+    dv_ref = refs[3 + 4 * ts]
+
+    scale = dh**-0.5
+    band = kt + 2 * eh
+    for k0 in range(0, height, kt):
+        ksl = slice(k0 * width, (k0 + kt) * width)
+        qsl = slice(k0 * width, (k0 + band) * width)  # padded rows
+        k_t = k_ref[0, 0, ksl]
+        v_t = v_ref[0, 0, ksl]
+        dk_acc = jnp.zeros((kt * width, dh), jnp.float32)
+        dv_acc = jnp.zeros((kt * width, dh), jnp.float32)
+        for j in range(ts):
+            qj = q_refs[j][0, 0, qsl]  # (band*W, dh), operand dtype
+            gj = g_refs[j][0, 0, qsl]
+            lse = lse_refs[j][0, 0, :, qsl]  # (1, band*W) f32, on lanes
+            dlt = dl_refs[j][0, 0, :, qsl]
+            scores_t = (
+                jnp.dot(k_t, qj.T, preferred_element_type=jnp.float32)
+                * scale
+            )  # (kt*W, band*W)
+            ok = _mask_dkv_t(seq, height, width, extents, f, k0, kt, j)
+            p_t = jnp.exp(jnp.where(ok, scores_t - lse, NEG_INF))
+            dp_t = jnp.dot(v_t, gj.T, preferred_element_type=jnp.float32)
+            ds_t = p_t * (dp_t - dlt)
+            dv_acc = dv_acc + jnp.dot(
+                p_t.astype(gj.dtype), gj, preferred_element_type=jnp.float32
+            )
+            dk_acc = dk_acc + jnp.dot(
+                ds_t.astype(qj.dtype), qj, preferred_element_type=jnp.float32
+            )
+        dk_ref[0, 0, ksl] = (dk_acc * scale).astype(dk_ref.dtype)
+        dv_ref[0, 0, ksl] = dv_acc.astype(dv_ref.dtype)
+
+
+def _fits_split_dq(seq, height, width, extents, dh, itemsize, qt):
+    hw = height * width
+    es, eh, _ = extents
+    ts = 2 * es + 1
+    rows_q = qt * width
+    rows_k = ts * min(height, qt + 2 * eh) * width
+    return (
+        rows_q * rows_k * (4 * 4 + itemsize)  # scores/p/dp/dscores + cast
+        + 2 * ts * hw * dh * itemsize  # k, v
+        + 3 * hw * dh * itemsize  # q, g, dq
+        + 2 * hw * 4  # lse, delta outputs
+        <= _VMEM_BUDGET_BYTES
+    )
+
+
+def _fits_split_dkv(seq, height, width, extents, dh, itemsize, kt):
+    hw = height * width
+    es, eh, _ = extents
+    ts = 2 * es + 1
+    rows_p = (height + 2 * eh) * width
+    rows_k = kt * width
+    cols_q = (kt + 2 * eh) * width
+    return (
+        rows_k * cols_q * (4 * 4 + 2 * itemsize)  # scores/p/dp/ds + casts
+        + 2 * ts * rows_p * dh * itemsize  # q, g padded frames
+        + 2 * ts * rows_p * 4  # lse, delta padded frames
+        + 4 * hw * dh * itemsize  # k, v, dk, dv
+        + 2 * rows_k * dh * 4  # f32 dk/dv accumulators
+        <= _VMEM_BUDGET_BYTES
+    )
+
+
+def pick_split_bands(
+    seq: int, height: int, width: int, extents: Tuple[int, int, int],
+    dh: int, itemsize: int = 4,
+) -> Tuple[int, int] | None:
+    """(qt, kt) for the split backward, or None if either pass exceeds
+    VMEM at every band. kt prefers the WIDEST fitting key tile (fewer
+    per-offset loop iterations; the band waste (kt+2eh)/kt also shrinks
+    with wider kt) while qt keeps `_band_candidates` narrow-first order."""
+    qt = next(
+        (
+            c
+            for c in _band_candidates(height, width, extents[1])
+            if _fits_split_dq(seq, height, width, extents, dh, itemsize, c)
+        ),
+        None,
+    )
+    kts = [
+        c
+        for c in _band_candidates(height, width, extents[1])
+        if _fits_split_dkv(seq, height, width, extents, dh, itemsize, c)
+    ]
+    if qt is None or not kts:
+        return None
+    return qt, kts[-2] if kts[-1] == height and len(kts) > 1 else kts[-1]
+
+
+def _bwd_impl_split(
+    q, k, v, g, extents, heads, interpret, qt=None, kt=None
+):
+    es, eh, ew = extents
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    hw = h * w
+    ts = 2 * es + 1
+    z = b * heads
+
+    def to_zs(t):
+        t = t.reshape(b, s, hw, heads, dh)
+        return t.transpose(0, 3, 1, 2, 4).reshape(z, s, hw, dh)
+
+    qz, kz, vz, gz = to_zs(q), to_zs(k), to_zs(v), to_zs(g)
+    kz_p = jnp.pad(kz, ((0, 0), (es, es), (0, 0), (0, 0)))
+    vz_p = jnp.pad(vz, ((0, 0), (es, es), (0, 0), (0, 0)))
+
+    def frame_spec(ds):
+        return pl.BlockSpec(
+            (1, 1, hw, dh),
+            lambda zz, i, ds=ds: (zz, i + ds, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    q_spec = pl.BlockSpec(
+        (1, 1, hw, dh), lambda zz, i: (zz, i, 0, 0), memory_space=pltpu.VMEM
+    )
+    stat_spec = pl.BlockSpec(
+        (1, 1, hw, 1), lambda zz, i: (zz, i, 0, 0), memory_space=pltpu.VMEM
+    )
+
+    qt = h if qt is None else qt
+    k1 = functools.partial(
+        _bwd_kernel_dq, seq=s, height=h, width=w, extents=extents, dh=dh,
+        qt=qt,
+    )
+    dq, lse, dlt = pl.pallas_call(
+        k1,
+        grid=(z, s),
+        in_specs=[q_spec]
+        + [frame_spec(ds) for ds in range(ts)]
+        + [frame_spec(ds) for ds in range(ts)]
+        + [q_spec],
+        out_specs=[q_spec, stat_spec, stat_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, s, hw, dh), q.dtype),
+            jax.ShapeDtypeStruct((z, s, hw, 1), jnp.float32),
+            jax.ShapeDtypeStruct((z, s, hw, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qz, *([kz_p] * ts), *([vz_p] * ts), gz)
+
+    # re-lay out for the key-centric pass: frames padded by es, rows by
+    # eh (padded row = true row + eh); stats move to the lane axis
+    rows_p = (h + 2 * eh) * w
+
+    def pad_frames_rows(t):
+        t = t.reshape(z, s, h, w, dh)
+        t = jnp.pad(t, ((0, 0), (es, es), (eh, eh), (0, 0), (0, 0)))
+        return t.reshape(z, s + 2 * es, rows_p, dh)
+
+    def pad_stat(t):
+        t = t.reshape(z, s, h, w)
+        t = jnp.pad(t, ((0, 0), (es, es), (eh, eh), (0, 0)))
+        return t.reshape(z, s + 2 * es, 1, rows_p)
+
+    qp, gp = pad_frames_rows(qz), pad_frames_rows(gz)
+    lsep, dltp = pad_stat(lse), pad_stat(dlt)
+
+    def pframe_spec(ds):
+        return pl.BlockSpec(
+            (1, 1, rows_p, dh),
+            lambda zz, i, ds=ds: (zz, i + ds, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def pstat_spec(ds):
+        return pl.BlockSpec(
+            (1, 1, 1, rows_p),
+            lambda zz, i, ds=ds: (zz, i + ds, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kt = h if kt is None else kt
+    k2 = functools.partial(
+        _bwd_kernel_dkv, seq=s, height=h, width=w, extents=extents, dh=dh,
+        kt=kt,
+    )
+    dk, dv = pl.pallas_call(
+        k2,
+        grid=(z, s),
+        in_specs=[q_spec, q_spec]
+        + [pframe_spec(ds) for ds in range(ts)]
+        + [pframe_spec(ds) for ds in range(ts)]
+        + [pstat_spec(ds) for ds in range(ts)]
+        + [pstat_spec(ds) for ds in range(ts)],
+        out_specs=[q_spec, q_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((z, s, hw, dh), k.dtype),
+            jax.ShapeDtypeStruct((z, s, hw, dh), v.dtype),
+        ],
+        interpret=interpret,
+    )(kz, vz, *([qp] * ts), *([gp] * ts), *([lsep] * ts), *([dltp] * ts))
+
+    def from_zs(t):
+        return (
+            t.reshape(b, heads, s, hw, dh)
+            .transpose(0, 2, 3, 1, 4)
+            .reshape(b, s, h, w, inner)
+        )
+
+    return from_zs(dq), from_zs(dk), from_zs(dv)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def local3d_attention_pallas(
     q: jnp.ndarray,
@@ -997,7 +1333,9 @@ def _dispatch(full_fn, tiled_fn, bwd, q, *rest_and_args):
     *rest, extents, heads, interpret = rest_and_args
     b, s, h, w, inner = q.shape
     dh = inner // heads
-    qt = pick_frame_band(s, h, w, extents, dh, bwd)
+    qt = pick_frame_band(
+        s, h, w, extents, dh, bwd, jnp.dtype(q.dtype).itemsize
+    )
     if qt is not None:
         return full_fn(q, *rest, extents, heads, interpret, qt)
     th = pick_h_tile(s, h, w, extents, dh)
@@ -1123,8 +1461,8 @@ def _bwd_impl(q, k, v, g, extents, heads, interpret, qt=None):
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
-            jax.ShapeDtypeStruct((b * heads, s, ts, hw, dh), jnp.float32),
-            jax.ShapeDtypeStruct((b * heads, s, ts, hw, dh), jnp.float32),
+            jax.ShapeDtypeStruct((b * heads, s, ts, hw, dh), _part_dtype(q)),
+            jax.ShapeDtypeStruct((b * heads, s, ts, hw, dh), _part_dtype(q)),
         ],
         interpret=interpret,
     )(qz, *([kz_p] * ts), *([vz_p] * ts), gz)
