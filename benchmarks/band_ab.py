@@ -26,6 +26,13 @@ def main():
     p.add_argument(
         "--shape", default="m3", choices=["m3", "s32", "g8", "sber"]
     )
+    p.add_argument(
+        "--only",
+        default=None,
+        choices=["allframes", "perframe", "htiled", "split"],
+        help="measure just one variant family (each skipped family saves "
+        "several 1-4 minute remote compiles)",
+    )
     p.add_argument("--platform", default=None)
     args = p.parse_args()
     if args.platform:
@@ -70,7 +77,10 @@ def main():
             return dq + dk + dv
         return step
 
-    for qt in (None, 8, 4, 2):
+    def want(family):
+        return args.only is None or args.only == family
+
+    for qt in (None, 8, 4, 2) if want("allframes") else ():
         if qt is not None and (qt >= h or h % qt):
             continue
         if not fits_vmem_allframes(s, h, w, extents, inner // heads, item, qt):
@@ -115,7 +125,7 @@ def main():
             msg = str(e).splitlines()[0][:100]
             print(f"{tag}: compile/run failed ({msg})")
 
-    for qt in (None, 8, 4):
+    for qt in (None, 8, 4) if want("perframe") else ():
         if qt is not None and (qt >= h or h % qt):
             continue
         try_bench(f"fwd per-frame qt={qt}", fwd_pf(qt))
@@ -130,6 +140,8 @@ def main():
     )
 
     th = pick_h_tile(s, h, w, extents, inner // heads)
+    if not want("htiled"):
+        th = None
     if th is not None:
 
         def fwd_ht(x):
@@ -149,7 +161,7 @@ def main():
             bwd_ht, x0, iters_short=40, iters_long=240, trials=3
         ) * 1e6
         print(f"bwd h-tiled th={th}: {us:.1f} us")
-    else:
+    elif want("htiled"):
         print("h-tiled: no valid TH at this shape")
 
     # split (flash-style) backward: dQ pass + key-centric dK/dV pass,
@@ -159,6 +171,8 @@ def main():
         pick_split_bands,
     )
 
+    if not want("split"):
+        return
     picked = pick_split_bands(s, h, w, extents, inner // heads, item)
     print(f"split bands picked: {picked}")
     for qt, kt in {

@@ -322,6 +322,62 @@ def sec_attn(led: Ledger):
     one("sber", 2, 16, 32, 32, 128, (3, 1, 1), 1)  # Sber 32x32 (H-tiled)
 
 
+def sec_attn_bwd(led: Ledger):
+    """Backward (dQ+dK+dV via vjp) of the routed local-3D kernel vs XLA
+    autodiff, bf16 operands — the hot-path direction whose routing changed
+    round 3 (sber 32x32 now takes the flash-style split backward, measured
+    695 vs 1107 us for the banded H-tiled it replaced). Useful-flop
+    convention: 2x the forward's two dots (the backward's dp/dq/dk/dv MXU
+    passes; score recompute excluded), matching attn_roofline.py."""
+    from world_modelz_tpu.kernels.local3d import local3d_attention_pallas
+    from world_modelz_tpu.models.attention import local3d_attention
+
+    on_tpu = jax.default_backend() == "tpu"
+
+    def one(tag, b, s, h, w, inner, extents, heads):
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (b, s, h, w, inner), jnp.bfloat16)
+        k = jax.random.normal(key, (b, s, h, w, inner), jnp.bfloat16)
+        v = jax.random.normal(key, (b, s, h, w, inner), jnp.bfloat16)
+        fl = 3 * F.local3d_attention_flops(b * s * h * w, extents, inner)
+        cfg = dict(
+            b=b, s=s, hw=f"{h}x{w}", inner=inner, extents=extents,
+            dtype="bf16", flops_note="grad step incl. forward: 3x fwd dots",
+        )
+        it = ITERS if QUICK else (20, 100)
+
+        def grad_step(fn):
+            def step(q):
+                g = jax.grad(
+                    lambda q, k, v: jnp.sum(
+                        fn(q, k, v, extents, heads).astype(jnp.float32) ** 2
+                    ),
+                    argnums=(0, 1, 2),
+                )(q, k, v)
+                return (g[0] + g[1] + g[2]).astype(q.dtype)
+
+            return step
+
+        led.record(
+            f"attn_bwd/{tag}/xla",
+            timed_chain(grad_step(local3d_attention), q, iters=it),
+            fl,
+            **cfg,
+        )
+        if on_tpu:
+            led.record(
+                f"attn_bwd/{tag}/pallas",
+                timed_chain(grad_step(local3d_attention_pallas), q, iters=it),
+                fl,
+                **cfg,
+            )
+
+    if QUICK:
+        one("m3", 1, 3, 8, 8, 32, (1, 1, 1), 1)
+        return
+    one("sber", 2, 16, 32, 32, 128, (3, 1, 1), 1)
+
+
 def sec_attn_block(led: Ledger):
     """Whole residual-attention BLOCK (QKV projections + windowed attention
     + output projection + residual) at the flagship m3 shape. The round-2
@@ -845,6 +901,7 @@ SECTIONS = {
     "tokenize512": sec_tokenize_b512,
     "vq": sec_vq,
     "attn": sec_attn,
+    "attn_bwd": sec_attn_bwd,
     "attn_block": sec_attn_block,
     "dense_attn": sec_dense_attn,
     "train": sec_train,

@@ -654,6 +654,59 @@ def test_local3d_tiled_banded_bwd_edge_band(rng):
         )
 
 
+def test_split_bwd_route_selection():
+    """Backward routing chain (all-frames -> per-frame -> split ->
+    H-tiled): at the Sber 32x32 bf16 shape the first two pickers decline
+    and the split backward takes the route — the shape where it measured
+    695 vs 1107 us for the H-tiled fallback (benchmarks/band_ab.py)."""
+    from world_modelz_tpu.kernels.local3d import (
+        kernel_supported,
+        pick_allframes_band,
+        pick_frame_band,
+        pick_split_bands,
+    )
+
+    assert pick_allframes_band(16, 32, 32, (3, 1, 1), 128, 2, bwd=True) is None
+    assert pick_frame_band(16, 32, 32, (3, 1, 1), 128, True, 2) is None
+    # narrow-first for both bands (kt=4 measured ahead of kt=8)
+    assert pick_split_bands(16, 32, 32, (3, 1, 1), 128, 2) == (4, 4)
+    assert kernel_supported(16, 32, 32, (3, 1, 1), 128)
+    # shapes the per-frame grid still fits keep it (s32 measured
+    # per-frame 247 vs split 283 us)
+    assert pick_frame_band(32, 16, 16, (3, 1, 1), 128, True, 2) is not None
+
+
+def test_split_bwd_routed_parity(rng, monkeypatch):
+    """Force the split branch of `_route_bwd` (decline the all-frames and
+    per-frame pickers) and check gradients through the public custom-VJP
+    entry point match XLA."""
+    from world_modelz_tpu.kernels import local3d
+
+    monkeypatch.setattr(
+        local3d, "pick_allframes_band", lambda *a, **k: None
+    )
+    monkeypatch.setattr(local3d, "pick_frame_band", lambda *a, **k: None)
+
+    extents, heads = (2, 1, 1), 2
+    b, s, h, w, inner = 1, 4, 8, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+
+    def loss_pal(q, k, v):
+        return jnp.sum(local3d_attention_pallas(q, k, v, extents, heads, True) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(local3d_attention(q, k, v, extents, heads) ** 2)
+
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pal, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5
+        )
+
+
 def test_local3d_split_bwd_matches_xla(rng):
     """Split (flash-style) backward golden test: dQ pass + key-centric
     dK/dV pass reconstruct exact gradients from the saved lse/delta —

@@ -151,15 +151,18 @@ def kernel_supported(
     seq: int, height: int, width: int, extents: Tuple[int, int, int], dh: int
 ) -> bool:
     """True when some Pallas path applies in BOTH directions: a (possibly
-    banded) per-frame grid or the H-tiled variant. (The all-frames route
-    implies the per-frame one — its working set is strictly larger.)"""
+    banded) per-frame grid, the split backward, or the H-tiled variant.
+    (The all-frames route implies the per-frame one — its working set is
+    strictly larger.)"""
     tiled = pick_h_tile(seq, height, width, extents, dh) is not None
     fwd_ok = tiled or (
         pick_frame_band(seq, height, width, extents, dh) is not None
     )
-    bwd_ok = tiled or (
-        pick_frame_band(seq, height, width, extents, dh, bwd=True)
+    bwd_ok = (
+        tiled
+        or pick_frame_band(seq, height, width, extents, dh, bwd=True)
         is not None
+        or pick_split_bands(seq, height, width, extents, dh) is not None
     )
     return fwd_ok and bwd_ok
 
@@ -1151,9 +1154,11 @@ def pick_split_bands(
     dh: int, itemsize: int = 4,
 ) -> Tuple[int, int] | None:
     """(qt, kt) for the split backward, or None if either pass exceeds
-    VMEM at every band. kt prefers the WIDEST fitting key tile (fewer
-    per-offset loop iterations; the band waste (kt+2eh)/kt also shrinks
-    with wider kt) while qt keeps `_band_candidates` narrow-first order."""
+    VMEM at every band. Both passes keep `_band_candidates` narrow-first
+    order (narrowest band whose M dim still fills the MXU sublane tile):
+    measured on v5e (benchmarks/band_ab.py, bf16), kt=4 beats kt=8 at the
+    Sber 32x32 shape (695 vs 829 us) — the narrower key tile's smaller
+    score block outweighs the extra per-offset loop iterations."""
     qt = next(
         (
             c
@@ -1162,14 +1167,17 @@ def pick_split_bands(
         ),
         None,
     )
-    kts = [
-        c
-        for c in _band_candidates(height, width, extents[1])
-        if _fits_split_dkv(seq, height, width, extents, dh, itemsize, c)
-    ]
-    if qt is None or not kts:
+    kt = next(
+        (
+            c
+            for c in _band_candidates(height, width, extents[1])
+            if _fits_split_dkv(seq, height, width, extents, dh, itemsize, c)
+        ),
+        None,
+    )
+    if qt is None or kt is None:
         return None
-    return qt, kts[-2] if kts[-1] == height and len(kts) > 1 else kts[-1]
+    return qt, kt
 
 
 def _bwd_impl_split(
@@ -1313,38 +1321,45 @@ def _route_fwd(q, k, v, extents, heads, interpret):
     )
     if qt is not None:
         return _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt)
-    return _dispatch(_fwd_impl, _fwd_impl_tiled, False, q, k, v, extents,
-                     heads, interpret)
-
-
-def _route_bwd(q, k, v, g, extents, heads, interpret):
-    b, s, h, w, inner = q.shape
-    dh = inner // heads
-    qt = pick_allframes_band(
-        s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize, bwd=True
-    )
-    if qt is not None:
-        return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt)
-    return _dispatch(_bwd_impl, _bwd_impl_tiled, True, q, k, v, g, extents,
-                     heads, interpret)
-
-
-def _dispatch(full_fn, tiled_fn, bwd, q, *rest_and_args):
-    *rest, extents, heads, interpret = rest_and_args
-    b, s, h, w, inner = q.shape
-    dh = inner // heads
     qt = pick_frame_band(
-        s, h, w, extents, dh, bwd, jnp.dtype(q.dtype).itemsize
+        s, h, w, extents, dh, False, jnp.dtype(q.dtype).itemsize
     )
     if qt is not None:
-        return full_fn(q, *rest, extents, heads, interpret, qt)
+        return _fwd_impl(q, k, v, extents, heads, interpret, qt)
     th = pick_h_tile(s, h, w, extents, dh)
     if th is None:
         raise ValueError(
             f"local3d kernel working set exceeds VMEM for grid {h}x{w} "
             f"extents {extents} and no valid H-tile exists; use the XLA path"
         )
-    return tiled_fn(q, *rest, extents, heads, interpret, th)
+    return _fwd_impl_tiled(q, k, v, extents, heads, interpret, th)
+
+
+def _route_bwd(q, k, v, g, extents, heads, interpret):
+    b, s, h, w, inner = q.shape
+    dh = inner // heads
+    item = jnp.dtype(q.dtype).itemsize
+    qt = pick_allframes_band(s, h, w, extents, dh, item, bwd=True)
+    if qt is not None:
+        return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt)
+    qt = pick_frame_band(s, h, w, extents, dh, True, item)
+    if qt is not None:
+        return _bwd_impl(q, k, v, g, extents, heads, interpret, qt)
+    # flash-style split backward before the H-tiled fallback: measured
+    # (benchmarks/band_ab.py, bf16 v5e) 695 vs 1107 us at the Sber 32x32
+    # shape — no partial dK/dV slabs, no XLA-side fold. Shapes the
+    # per-frame grid still fits keep it (s32: per-frame 247 vs split
+    # 283 us; the all-frames m3 route is faster than both at 125 us).
+    bands = pick_split_bands(s, h, w, extents, dh, item)
+    if bands is not None:
+        return _bwd_impl_split(q, k, v, g, extents, heads, interpret, *bands)
+    th = pick_h_tile(s, h, w, extents, dh)
+    if th is None:
+        raise ValueError(
+            f"local3d kernel working set exceeds VMEM for grid {h}x{w} "
+            f"extents {extents} and no valid H-tile exists; use the XLA path"
+        )
+    return _bwd_impl_tiled(q, k, v, g, extents, heads, interpret, th)
 
 
 def _bwd_kernel(
