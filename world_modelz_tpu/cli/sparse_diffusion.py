@@ -806,7 +806,13 @@ def train(cfg: SparseDiffusionConfig):
                 "samples_per_sec": round(sps * cfg.batch_size, 1),
                 # host-side shares of the window wall-clock; the remainder
                 # is device compute overlapped with nothing (the dispatch
-                # share is host-visible enqueue time, not device time)
+                # share is host-visible enqueue time, not device time).
+                # NB: if enqueue runs ahead of the device (cheap host input
+                # path on the async relay), the device-compute wait lands in
+                # the blocking log readback — a large log_sync share then
+                # means "device-bound", not "logging overhead".
+                "breakdown_note": "log_sync includes device-compute wait "
+                "when enqueue runs ahead (async relay); see source comment",
                 "breakdown_pct": {
                     k: round(
                         100.0

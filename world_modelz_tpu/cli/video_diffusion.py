@@ -881,7 +881,15 @@ def train(cfg: VideoDiffusionConfig):
                 "samples_per_sec": round(sps * cfg.batch_size, 1),
                 # host-side shares of the window wall-clock; the remainder
                 # is device compute overlapped with nothing (the dispatch
-                # share is host-visible enqueue time, not device time)
+                # share is host-visible enqueue time, not device time).
+                # NB: when the host input path is cheap enough that enqueue
+                # runs ahead of the device (e.g. --device_composite ships
+                # ~1 KB/clip), the wait for device compute lands in the
+                # blocking log readback — a large log_sync share then means
+                # "device-bound", not "logging overhead" (the round-3
+                # composite row's 96% log_sync is this).
+                "breakdown_note": "log_sync includes device-compute wait "
+                "when enqueue runs ahead (async relay); see source comment",
                 "breakdown_pct": {
                     k: round(
                         100.0
