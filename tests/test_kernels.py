@@ -536,6 +536,23 @@ def test_local3d_block_matches_composition(rng):
     )
 
 
+def test_local3d_block_banded_matches_composition(rng):
+    """Fused block at a 16x16 grid, where the attention section runs
+    banded (qt=8 by `_band_candidates`): parity vs the XLA composition."""
+    from world_modelz_tpu.kernels.local3d_block import (
+        _block_reference,
+        local3d_block,
+    )
+
+    extents, heads = (1, 1, 1), 1
+    ops = _block_operands(rng, b=1, s=3, h=16, w=16, dim=16, heads=1, dh=16)
+    ref = _block_reference(*ops, extents, heads)
+    out = local3d_block(*ops, extents, heads, True)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_local3d_block_gradients_match_composition(rng):
     from world_modelz_tpu.kernels.local3d_block import (
         _block_reference,

@@ -48,7 +48,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from world_modelz_tpu.kernels.local3d import NEG_INF, _mask_block
+from world_modelz_tpu.kernels.local3d import (
+    NEG_INF,
+    _band_bounds,
+    _band_candidates,
+    _mask_band,
+    _mask_block,
+)
 
 # the fused block holds two full input clips + projections + one frame's
 # f32 score matrix; give it more headroom than the attention-only kernels
@@ -123,6 +129,7 @@ def _block_kernel(
     extents: Tuple[int, int, int],
     heads: int,
     dh: int,
+    qt: Optional[int] = None,
 ):
     es = extents[0]
     hw = height * width
@@ -149,29 +156,50 @@ def _block_kernel(
     v_pad = jnp.concatenate([zpad, v, zpad], axis=0)
 
     scale = dh**-0.5
+    eh = extents[1]
+    qt = height if qt is None else qt
     rows = []
     for f in range(seq):  # static unroll: S*heads small by `block_supported`
-        ok = _mask_block(seq, height, width, extents, f)
         head_outs = []
         for h_i in range(heads):
             sl = slice(h_i * dh, (h_i + 1) * dh)
-            qf = q[f, :, sl]  # (HW, dh)
-            kf = k_pad[f : f + ts, :, sl].reshape(ts * hw, dh)
-            vf = v_pad[f : f + ts, :, sl].reshape(ts * hw, dh)
-            scores = (
-                jnp.dot(qf, kf.T, preferred_element_type=jnp.float32)
-                * scale
-            )
-            scores = jnp.where(ok, scores, NEG_INF)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores - m)
-            attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
-            head_outs.append(
-                jnp.dot(attn, vf, preferred_element_type=jnp.float32).astype(
-                    dt
+            tiles = []
+            # banded query row tiles against their clamped +-eh key row
+            # band, exactly as the attention-only kernels (the executed
+            # masked-dense flop cut measured there carries over)
+            for h0 in range(0, height, qt):
+                lo, hi = _band_bounds(height, eh, h0, qt)
+                qf = q[f, h0 * width : (h0 + qt) * width, sl]  # (qt*W, dh)
+                kf = k_pad[f : f + ts, lo * width : hi * width, sl].reshape(
+                    ts * (hi - lo) * width, dh
                 )
+                vf = v_pad[f : f + ts, lo * width : hi * width, sl].reshape(
+                    ts * (hi - lo) * width, dh
+                )
+                scores = (
+                    jnp.dot(qf, kf.T, preferred_element_type=jnp.float32)
+                    * scale
+                )
+                ok = _mask_band(
+                    seq, height, width, extents, f, h0, qt, lo, hi
+                )
+                scores = jnp.where(ok, scores, NEG_INF)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - m)
+                attn = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(dt)
+                tiles.append(
+                    jnp.dot(
+                        attn, vf, preferred_element_type=jnp.float32
+                    ).astype(dt)
+                )
+            head_outs.append(
+                tiles[0] if len(tiles) == 1 else jnp.concatenate(tiles, axis=0)
             )
-        rows.append(jnp.concatenate(head_outs, axis=-1))  # (HW, inner)
+        rows.append(
+            head_outs[0]
+            if len(head_outs) == 1
+            else jnp.concatenate(head_outs, axis=-1)
+        )  # (HW, inner)
 
     attn_out = jnp.stack(rows, axis=0).reshape(seq * hw, inner)
     out = (
@@ -207,9 +235,16 @@ def _block_fwd_impl(
             memory_space=pltpu.VMEM,
         )
 
+    # band the attention section like the attention-only kernels: the
+    # narrowest query row tile whose M dim still fills the MXU sublane
+    # tile (qt*W >= 128, _band_candidates), unbanded when no tile saves
+    # flops (e.g. 8x8 grids — measured worse there in band_ab)
+    qt = next(
+        (c for c in _band_candidates(h, w, extents[1]) if c < h), None
+    )
     kernel = functools.partial(
         _block_kernel, seq=s, height=h, width=w, extents=extents,
-        heads=heads, dh=dh,
+        heads=heads, dh=dh, qt=qt,
     )
     # useful-FLOPs estimate: projections (dense) + attention over the
     # (2e_h+1)(2e_w+1) valid spatial window
