@@ -647,6 +647,106 @@ def sec_train_e2e_sparse(led: Ledger):
     )
 
 
+def sec_train_sparse_step(led: Ledger):
+    """Compiled sparse train step at the round-3 AS-TRAINED configuration
+    (batch 16, n_ctx 1024 over a 16^3 token volume, dim 512 depth 8
+    heads 8, flash backend, bf16, loss-aware sampling + corruption + EMA
+    inside the step) so the train_e2e/sparse/trainer row divides by a
+    compiled twin of the SAME program (VERDICT r3: that row previously
+    had no compiled counterpart at its config)."""
+    import optax
+
+    from world_modelz_tpu.diffusion import corrupt_tokens
+    from world_modelz_tpu.diffusion.sparse import sample_time_dependent
+    from world_modelz_tpu.models.video import VqSparseDiffusionModel
+    from world_modelz_tpu.train import (
+        ema_init,
+        ema_update,
+        loss_aware_init,
+        loss_aware_sample,
+        loss_aware_update,
+    )
+
+    B, NCTX, K = 16, 1024, 512
+    SHAPE = (16, 16, 16)
+    DIM, DEPTH, HEADS, MLP = 512, 8, 8, 1024
+    if QUICK:
+        B, NCTX, DIM, DEPTH, HEADS, MLP = 2, 128, 64, 2, 2, 128
+    backend = "flash" if jax.default_backend() == "tpu" else "xla"
+    model = VqSparseDiffusionModel(
+        shape=SHAPE, num_classes=K, dim=DIM, depth=DEPTH,
+        dim_head=DIM // HEADS, mlp_dim=MLP, heads=HEADS,
+        attn_backend=backend,
+    )
+    key = jax.random.PRNGKey(0)
+    batch_z = jax.random.randint(key, (B,) + SHAPE, 0, K)
+    params = model.init(
+        key,
+        jnp.zeros((1, NCTX), jnp.int32),
+        jnp.zeros((1, NCTX), jnp.int32),
+    )["params"]
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+    ema = ema_init(params)
+    sampler_state = loss_aware_init()
+
+    def train_step(carry):
+        params, ema, opt_state, sampler_state, k = carry
+        k, k_r, k_idx, k_c = jax.random.split(k, 4)
+        r = loss_aware_sample(sampler_state, k_r, B)
+        indices = sample_time_dependent(k_idx, B, NCTX, SHAPE, r)
+        target = jnp.take_along_axis(
+            batch_z.reshape(B, -1), indices, axis=1
+        )
+        corrupted, _ = corrupt_tokens(
+            k_c, target, r, num_classes=K, mask_token=K, p_max_uniform=0.1
+        )
+
+        def loss_fn(p):
+            p = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if x.dtype == jnp.float32
+                else x,
+                p,
+            )
+            logits = model.apply({"params": p}, corrupted, indices).astype(
+                jnp.float32
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, K), target.reshape(-1)
+            )
+            return ce.mean(), ce.reshape(B, -1).mean(axis=1)
+
+        (loss, per_sample), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
+        sampler_state = loss_aware_update(sampler_state, r, per_sample)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        ema = ema_update(ema, params, 0.999)
+        return (params, ema, opt_state, sampler_state, k)
+
+    fwd = F.dense_transformer_flops(
+        B, NCTX, dim=DIM, depth=DEPTH, heads=HEADS, dim_head=DIM // HEADS,
+        mlp_dim=MLP, num_classes=K,
+    )
+    s = timed_chain(
+        train_step, (params, ema, opt_state, sampler_state, key),
+        iters=ITERS if QUICK else (2, 8),
+    )
+    led.record(
+        f"train_step/sparse_b16/{backend}+bf16",
+        s,
+        F.train_step_flops(fwd),  # no remat in the dense path -> 3x fwd
+        batch=B,
+        n_ctx=NCTX,
+        grid="16x16x16",
+        steps_per_sec=round(1 / s, 2),
+        samples_per_sec=round(B / s, 1),
+        dim=DIM, depth=DEPTH, heads=HEADS, mlp_dim=MLP,
+    )
+
+
 def sec_train_b64_g8(led: Ledger):
     """Compiled b64 train step at the AS-TRAINED round-2/3 configuration
     (downscale-3 tokenizer -> 6x8x8 token grid) so the end-to-end trainer
@@ -909,6 +1009,7 @@ SECTIONS = {
     "train_b64_g8": sec_train_b64_g8,
     "train_e2e": sec_train_e2e,
     "train_e2e_sparse": sec_train_e2e_sparse,
+    "train_sparse": sec_train_sparse_step,
     "serve": sec_serve,
     "denoise": sec_denoise,
 }

@@ -120,10 +120,14 @@ class SparseDiffusionConfig:
     log_fence: str = "deferred"
     histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
     # write an end-to-end timing breakdown JSON on exit (ledger section
-    # train_e2e_sparse reads it): steps/sec over the post-warmup window
-    # plus host-side time shares (data+encode, dispatch, log readbacks,
-    # checkpoints, eval)
+    # train_e2e_sparse reads it): steps/sec over the post-warmup window,
+    # host time shares (data+encode / dispatch / device_wait / log /
+    # checkpoint / eval), fenced device-step probes and a wall-time
+    # reconciliation (train/timing.py)
     timing_report: str = ""
+    # every Nth step (timing_report only) isolate one dispatch behind
+    # value fences to measure true device ms/step inside the run; 0 = off
+    probe_interval: int = 200
 
     buffer_size: int = 75_000
     max_segment_length: int = 1000
@@ -599,22 +603,37 @@ def train(cfg: SparseDiffusionConfig):
     # close only on explicit value fences (queue drains).
     pending = deque()  # (step, ok, loss, grad_norm, host_steps_per_sec)
 
+    # end-to-end timing (cfg.timing_report): host buckets, a fenced
+    # steps/sec window, device probes and a wall-time reconciliation
+    # (train/timing.py)
+    from world_modelz_tpu.train.timing import TrainTiming, fence_value
+
+    tm = TrainTiming(
+        probe_interval=cfg.probe_interval if cfg.timing_report else 0
+    )
+
     def flush_log_entry(entry):
         """Read back and log one enqueued log point (a value fence for the
         dispatch that produced it). Returns the guard's restore tuple when
-        NaN escalation fired, else None."""
+        NaN escalation fired, else None. Value reads are charged to
+        device_wait (they block on device compute when enqueue runs
+        ahead); pure host logging to log."""
         nonlocal rejected
         estep, ok_e, loss_e, gn_e, sps = entry
+        tt = time.perf_counter()
         # the guard acts on-device every step; the host only samples the
         # flag at log points to avoid a per-step readback sync
-        accepted = bool(ok_e) or not cfg.nan_guard
+        ok_v, loss_v, gn_v = bool(ok_e), float(loss_e), float(gn_e)
+        tt2 = time.perf_counter()
+        tm.add("device_wait", tt2 - tt)
+        accepted = ok_v or not cfg.nan_guard
         if not accepted:
             rejected += 1
             print(f"{estep}: step REJECTED (non-finite loss/grads)")
         restored = guard.record(accepted, estep)
         m = {
-            "loss": float(loss_e),
-            "grad_norm": float(gn_e),
+            "loss": loss_v,
+            "grad_norm": gn_v,
             "lr": float(schedule(estep)),
             "steps_per_sec": sps,
         }
@@ -623,27 +642,25 @@ def train(cfg: SparseDiffusionConfig):
             f"{estep}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
             f"grad_norm {m['grad_norm']:.3e}"
         )
+        tm.add("log", time.perf_counter() - tt2)
         return restored
-    # end-to-end timing (cfg.timing_report): host-side time sinks plus a
-    # steps/sec window anchored on log-point readbacks (value fences)
-    timers = {"data": 0.0, "dispatch": 0.0, "log_sync": 0.0,
-              "checkpoint": 0.0, "eval": 0.0}
-    win = {"step": None, "time": None, "steps": 0, "secs": 0.0}
+
     kdisp = max(1, cfg.steps_per_dispatch)
     seen_sizes = set()  # dispatch lengths already compiled+run
 
     def dispatch_len(done: int) -> int:
         """Steps to fuse into the next program: up to `kdisp`, but never
         crossing the next log/histogram/checkpoint/eval/batch-change/
-        max_steps boundary (host work happens at exact step multiples,
-        and a batch refresh lands at steps == 1 mod change_batch_interval
-        exactly as with k=1)."""
+        probe/max_steps boundary (host work happens at exact step
+        multiples, and a batch refresh lands at steps == 1 mod
+        change_batch_interval exactly as with k=1)."""
         stop = cfg.max_steps
         first_log = start_step + 1  # compile/warmup log point
         if done < first_log:
             stop = min(stop, first_log)
         intervals = [cfg.log_interval, cfg.histogram_interval,
-                     cfg.checkpoint_interval, cfg.eval_interval]
+                     cfg.checkpoint_interval, cfg.eval_interval,
+                     tm.probe_interval]
         if not cfg.single_batch:
             intervals.append(cfg.change_batch_interval)
         for iv in intervals:
@@ -653,6 +670,7 @@ def train(cfg: SparseDiffusionConfig):
 
     try:
         step = start_step
+        ok = None  # guard flag of the most recent dispatch (device scalar)
         while step < cfg.max_steps:
             if batch_z is None or (
                 not cfg.single_batch
@@ -660,7 +678,7 @@ def train(cfg: SparseDiffusionConfig):
             ):
                 tt = time.perf_counter()
                 batch_z = encode_batch(next(batches))
-                timers["data"] += time.perf_counter() - tt
+                tm.add("data", time.perf_counter() - tt)
                 if cfg.single_batch and step == 0:
                     gt = decode_volume(tok, tok_state, batch_z, ext_tok=ext_tok)
                     save_image(
@@ -673,7 +691,16 @@ def train(cfg: SparseDiffusionConfig):
             n = dispatch_len(step)
             keys = jax.random.split(key, n + 1)
             key = keys[0]
-            tt = time.perf_counter()
+            # device probe: isolate this dispatch behind value fences (see
+            # video_diffusion.py; only at the steady-state compiled size)
+            probe = tm.probe_due(step + n) and tm.opened and n in seen_sizes
+            if probe:
+                tp = time.perf_counter()
+                fence_value(ok)  # device idle behind the last dispatch
+                fence_value(batch_z)  # the encoded batch has materialized
+                td = time.perf_counter()
+            else:
+                tt = time.perf_counter()
             if n == 1:
                 (params, ema_params, opt_state, sampler_state, loss, gn,
                  ok) = train_step(
@@ -688,7 +715,13 @@ def train(cfg: SparseDiffusionConfig):
                 )
             step += n
             seen_sizes.add(n)
-            timers["dispatch"] += time.perf_counter() - tt
+            if probe:
+                fence_value(ok)
+                now = time.perf_counter()
+                tm.record_probe(n, now - td)
+                tm.add("probe", now - tp)
+            else:
+                tm.add("dispatch", time.perf_counter() - tt)
 
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 dt = time.time() - t0
@@ -699,7 +732,7 @@ def train(cfg: SparseDiffusionConfig):
                 deferred = cfg.log_fence == "deferred"
                 # window: from the 2nd log point (warmup/compile excluded)
                 # to the latest fence
-                opened = win["step"] is None and step > start_step + 1
+                opened = not tm.opened and step > start_step + 1
                 # with fused dispatch the steady-state k-step program only
                 # compiles at the first full-k dispatch (after the second
                 # log point); opening the window before then averages a
@@ -711,7 +744,6 @@ def train(cfg: SparseDiffusionConfig):
                 # (intermediate points keep one entry in flight; the close
                 # fence is the end-of-run drain)
                 fence = (not deferred) or opened
-                tt = time.perf_counter()
                 while len(pending) > (0 if fence else 1):
                     restored = flush_log_entry(pending.popleft())
                     if restored is not None:
@@ -719,14 +751,10 @@ def train(cfg: SparseDiffusionConfig):
                             restored
                         )
                 now = time.perf_counter()
-                timers["log_sync"] += now - tt
                 if opened:
-                    win["step"], win["time"] = step, now
-                    win["timers0"] = dict(timers)
-                elif win["step"] is not None and fence:
-                    win["steps"] = step - win["step"]
-                    win["secs"] = now - win["time"]
-                    win["timersN"] = dict(timers)
+                    tm.open_window(step, now)
+                elif tm.opened and fence:
+                    tm.close_window(step, now)
 
             if (
                 cfg.histogram_interval
@@ -760,7 +788,7 @@ def train(cfg: SparseDiffusionConfig):
                         else None
                     ),
                 )
-                timers["checkpoint"] += time.perf_counter() - tt
+                tm.add("checkpoint", time.perf_counter() - tt)
                 print("checkpoint:", path)
 
             if cfg.eval_interval and step % cfg.eval_interval == 0:
@@ -768,7 +796,7 @@ def train(cfg: SparseDiffusionConfig):
                 run_eval(params, "base", step)
                 if ema_params is not None:
                     run_eval(ema_params, "ema", step)
-                timers["eval"] += time.perf_counter() - tt
+                tm.add("eval", time.perf_counter() - tt)
     finally:
         # deferred mode: drain the in-flight log entry — a value fence
         # that also closes the timing window honestly (the drain waits for
@@ -782,56 +810,25 @@ def train(cfg: SparseDiffusionConfig):
                     params, ema_params, opt_state, sampler_state = restored
             if (
                 last_step is not None
-                and win["step"] is not None
-                and last_step > win["step"]
+                and tm.opened
+                and last_step > tm.win["step"]
             ):
-                now = time.perf_counter()
-                win["steps"] = last_step - win["step"]
-                win["secs"] = now - win["time"]
-                win["timersN"] = dict(timers)
+                tm.close_window(last_step, time.perf_counter())
         except Exception as e:  # device in a bad state: report what we have
             print("[log] deferred readback failed:", e)
-        if cfg.timing_report and win["steps"] > 0:
-            import json as _json
-
-            sps = win["steps"] / max(win["secs"], 1e-9)
-            total = max(win["secs"], 1e-9)
-            report = {
-                "batch_size": cfg.batch_size,
-                "num_context": cfg.num_context,
-                "num_classes": num_embeddings,  # FLOPs need the logit head
-                "window_steps": win["steps"],
-                "window_secs": round(win["secs"], 3),
-                "steps_per_sec": round(sps, 3),
-                "samples_per_sec": round(sps * cfg.batch_size, 1),
-                # host-side shares of the window wall-clock; the remainder
-                # is device compute overlapped with nothing (the dispatch
-                # share is host-visible enqueue time, not device time).
-                # NB: if enqueue runs ahead of the device (cheap host input
-                # path on the async relay), the device-compute wait lands in
-                # the blocking log readback — a large log_sync share then
-                # means "device-bound", not "logging overhead".
-                "breakdown_note": "log_sync includes device-compute wait "
-                "when enqueue runs ahead (async relay); see source comment",
-                "breakdown_pct": {
-                    k: round(
-                        100.0
-                        * (win["timersN"][k] - win["timers0"][k])
-                        / total,
-                        1,
-                    )
-                    for k in timers
-                },
-                "config": config_to_dict(cfg),
-            }
-            os.makedirs(
-                os.path.dirname(os.path.abspath(cfg.timing_report)),
-                exist_ok=True,
+        if cfg.timing_report:
+            tm.write(
+                cfg.timing_report,
+                tm.report(
+                    batch_size=cfg.batch_size,
+                    extra={
+                        "num_context": cfg.num_context,
+                        "num_classes": num_embeddings,  # FLOPs: logit head
+                    },
+                    h2d_stats=batches.transfer_stats(),
+                    config=config_to_dict(cfg),
+                ),
             )
-            with open(cfg.timing_report, "w") as f:
-                _json.dump(report, f, indent=1)
-            print("timing report:", cfg.timing_report,
-                  report["steps_per_sec"], "steps/s")
         try:
             saver.wait()  # the last async save must land before exit
         except Exception as e:

@@ -71,6 +71,7 @@ from world_modelz_tpu.train.checkpoint import (
     restore_checkpoint,
     save_checkpoint,
 )
+from world_modelz_tpu.train.timing import TrainTiming, fence_value
 from world_modelz_tpu.utils import (
     MetricLogger,
     dataclass_cli,
@@ -140,10 +141,15 @@ class VideoDiffusionConfig:
     histogram_interval: int = 50  # sampler-weight histograms (main2.py:298)
     # write an end-to-end timing breakdown JSON on exit (ledger section
     # train_e2e ingests it): steps/sec over the post-warmup window between
-    # log-point value readbacks, plus host time shares (data / dispatch /
-    # log sync / checkpoint / eval). Honest on relay backends: window
-    # endpoints are value readbacks, never enqueue fences.
+    # log-point value readbacks, host time shares (data / dispatch /
+    # device_wait / log / checkpoint / eval), fenced device-step and h2d
+    # transfer probes, and a reconciliation of wall = device + host
+    # (train/timing.py). Honest on relay backends: window endpoints are
+    # value readbacks, never enqueue fences.
     timing_report: str = ""
+    # every Nth step (timing_report only) isolate one dispatch behind
+    # value fences to measure true device ms/step inside the run; 0 = off
+    probe_interval: int = 200
 
     dim: int = 256
     extents: Tuple[int, int, int] = (3, 3, 3)
@@ -638,6 +644,10 @@ def train(cfg: VideoDiffusionConfig):
             if sampler is not None and hasattr(sampler, "get_state")
             else None
         ),
+        # timing runs fence every ~2 dispatches' worth of batches to
+        # measure the h2d transfer the async pipeline hides
+        probe_every=(5 * max(1, cfg.steps_per_dispatch)
+                     if cfg.timing_report else 0),
     )
     logger = MetricLogger(
         cfg.output_dir, cfg.name, use_wandb=cfg.wandb,
@@ -685,22 +695,35 @@ def train(cfg: VideoDiffusionConfig):
     # (a drain of the queue), never on deferred reads.
     pending = deque()  # (step, ok, loss, grad_norm, host_steps_per_sec)
 
+    # end-to-end timing (cfg.timing_report): host buckets, a fenced
+    # steps/sec window, device/h2d probes and a wall-time reconciliation
+    # (train/timing.py)
+    tm = TrainTiming(
+        probe_interval=cfg.probe_interval if cfg.timing_report else 0
+    )
+
     def flush_log_entry(entry):
         """Read back and log one enqueued log point (a value fence for the
         dispatch that produced it). Returns the guard's restore tuple when
-        NaN escalation fired, else None."""
+        NaN escalation fired, else None. The value reads are charged to
+        the device_wait bucket (they block on device compute when enqueue
+        runs ahead); pure host logging is charged to log."""
         nonlocal rejected
         estep, ok_e, loss_e, gn_e, sps = entry
+        tt = time.perf_counter()
         # the guard acts on-device every step; the host only samples the
         # flag at log points to avoid a per-step readback sync
-        accepted = bool(ok_e) or not cfg.nan_guard
+        ok_v, loss_v, gn_v = bool(ok_e), float(loss_e), float(gn_e)
+        tt2 = time.perf_counter()
+        tm.add("device_wait", tt2 - tt)
+        accepted = ok_v or not cfg.nan_guard
         if not accepted:
             rejected += 1
             print(f"{estep}: step REJECTED (non-finite loss/grads)")
         restored = guard.record(accepted, estep)
         m = {
-            "loss": float(loss_e),
-            "grad_norm": float(gn_e),
+            "loss": loss_v,
+            "grad_norm": gn_v,
             "lr": float(schedule(estep)),
             "steps_per_sec": sps,
         }
@@ -709,39 +732,51 @@ def train(cfg: VideoDiffusionConfig):
             f"{estep}: loss {m['loss']:.3e} lr {m['lr']:.3e} "
             f"grad_norm {m['grad_norm']:.3e}"
         )
+        tm.add("log", time.perf_counter() - tt2)
         return restored
-    # end-to-end timing (cfg.timing_report): host-side time sinks plus a
-    # steps/sec window anchored on log-point readbacks (value fences)
-    timers = {"data": 0.0, "dispatch": 0.0, "log_sync": 0.0,
-              "checkpoint": 0.0, "eval": 0.0}
-    win = {"step": None, "time": None, "steps": 0, "secs": 0.0}
+
     kdisp = max(1, cfg.steps_per_dispatch)
     seen_sizes = set()  # dispatch lengths already compiled+run
 
     def dispatch_len(done: int) -> int:
         """Steps to fuse into the next program: up to `kdisp`, but never
-        crossing the next log/histogram/checkpoint/eval/max_steps boundary
-        (host-side work happens at exact step multiples, as with k=1)."""
+        crossing the next log/histogram/checkpoint/eval/probe/max_steps
+        boundary (host-side work happens at exact step multiples, as with
+        k=1)."""
         stop = cfg.max_steps
         first_log = start_step + 1  # compile/warmup log point
         if done < first_log:
             stop = min(stop, first_log)
         for iv in (cfg.log_interval, cfg.histogram_interval,
-                   cfg.checkpoint_interval, cfg.eval_interval):
+                   cfg.checkpoint_interval, cfg.eval_interval,
+                   tm.probe_interval):
             if iv:
                 stop = min(stop, (done // iv + 1) * iv)
         return max(1, min(kdisp, stop - done))
 
     try:
         step = start_step
+        ok = None  # guard flag of the most recent dispatch (device scalar)
         while step < cfg.max_steps:
             n = dispatch_len(step)
             tt = time.perf_counter()
             frame_list = [next(batches) for _ in range(n)]
-            timers["data"] += time.perf_counter() - tt
+            tm.add("data", time.perf_counter() - tt)
             keys = jax.random.split(key, n + 1)
             key = keys[0]
-            tt = time.perf_counter()
+            # device probe: isolate this dispatch behind value fences to
+            # measure true device ms/step inside the run (only at the
+            # steady-state compiled size, never timing a fresh compile)
+            probe = tm.probe_due(step + n) and tm.opened and n in seen_sizes
+            if probe:
+                tp = time.perf_counter()
+                fence_value(ok)  # device idle behind the last dispatch
+                # this dispatch's inputs have landed (last-shipped leaf)
+                leaves = jax.tree_util.tree_leaves(frame_list)
+                fence_value(leaves[-1] if leaves else None)
+                td = time.perf_counter()
+            else:
+                tt = time.perf_counter()
             if n == 1:
                 (params, ema_params, opt_state, sampler_state, loss, gn,
                  ok) = train_step(
@@ -756,7 +791,13 @@ def train(cfg: VideoDiffusionConfig):
                 )
             step += n
             seen_sizes.add(n)
-            timers["dispatch"] += time.perf_counter() - tt
+            if probe:
+                fence_value(ok)
+                now = time.perf_counter()
+                tm.record_probe(n, now - td)
+                tm.add("probe", now - tp)
+            else:
+                tm.add("dispatch", time.perf_counter() - tt)
             if step % cfg.log_interval == 0 or step == start_step + 1:
                 dt = time.time() - t0
                 t0 = time.time()
@@ -766,7 +807,7 @@ def train(cfg: VideoDiffusionConfig):
                 deferred = cfg.log_fence == "deferred"
                 # window: from the 2nd log point (warmup/compile excluded)
                 # to the latest fence
-                opened = win["step"] is None and step > start_step + 1
+                opened = not tm.opened and step > start_step + 1
                 # with fused dispatch the steady-state k-step program only
                 # compiles at the first full-k dispatch (after the second
                 # log point); opening the window before then averages a
@@ -778,7 +819,6 @@ def train(cfg: VideoDiffusionConfig):
                 # (intermediate points keep one entry in flight and are
                 # not fences; the close fence is the end-of-run drain)
                 fence = (not deferred) or opened
-                tt = time.perf_counter()
                 while len(pending) > (0 if fence else 1):
                     restored = flush_log_entry(pending.popleft())
                     if restored is not None:
@@ -786,14 +826,10 @@ def train(cfg: VideoDiffusionConfig):
                             restored
                         )
                 now = time.perf_counter()
-                timers["log_sync"] += now - tt
                 if opened:
-                    win["step"], win["time"] = step, now
-                    win["timers0"] = dict(timers)
-                elif win["step"] is not None and fence:
-                    win["steps"] = step - win["step"]
-                    win["secs"] = now - win["time"]
-                    win["timersN"] = dict(timers)
+                    tm.open_window(step, now)
+                elif tm.opened and fence:
+                    tm.close_window(step, now)
 
             if cfg.histogram_interval and step % cfg.histogram_interval == 0:
                 logger.log_histogram(
@@ -829,7 +865,7 @@ def train(cfg: VideoDiffusionConfig):
                         else None
                     ),
                 )
-                timers["checkpoint"] += time.perf_counter() - tt
+                tm.add("checkpoint", time.perf_counter() - tt)
                 print("checkpoint:", path)
 
             if cfg.eval_interval and step % cfg.eval_interval == 0:
@@ -844,7 +880,7 @@ def train(cfg: VideoDiffusionConfig):
                         tok_state=tok_state, clip_fn=eval_clip_fn, key=sub,
                         tag=tag, step=step, logger=logger,
                     )
-                timers["eval"] += time.perf_counter() - tt
+                tm.add("eval", time.perf_counter() - tt)
     finally:
         # deferred mode: drain the in-flight log entry — a value fence
         # that also closes the timing window honestly (the drain waits for
@@ -858,57 +894,22 @@ def train(cfg: VideoDiffusionConfig):
                     params, ema_params, opt_state, sampler_state = restored
             if (
                 last_step is not None
-                and win["step"] is not None
-                and last_step > win["step"]
+                and tm.opened
+                and last_step > tm.win["step"]
             ):
-                now = time.perf_counter()
-                win["steps"] = last_step - win["step"]
-                win["secs"] = now - win["time"]
-                win["timersN"] = dict(timers)
+                tm.close_window(last_step, time.perf_counter())
         except Exception as e:  # device in a bad state: report what we have
             print("[log] deferred readback failed:", e)
-        if cfg.timing_report and win["steps"] > 0:
-            import json as _json
-
-            sps = win["steps"] / max(win["secs"], 1e-9)
-            total = max(win["secs"], 1e-9)
-            report = {
-                "batch_size": cfg.batch_size,
-                "token_shape": list(token_shape),  # FLOPs need the grid
-                "window_steps": win["steps"],
-                "window_secs": round(win["secs"], 3),
-                "steps_per_sec": round(sps, 3),
-                "samples_per_sec": round(sps * cfg.batch_size, 1),
-                # host-side shares of the window wall-clock; the remainder
-                # is device compute overlapped with nothing (the dispatch
-                # share is host-visible enqueue time, not device time).
-                # NB: when the host input path is cheap enough that enqueue
-                # runs ahead of the device (e.g. --device_composite ships
-                # ~1 KB/clip), the wait for device compute lands in the
-                # blocking log readback — a large log_sync share then means
-                # "device-bound", not "logging overhead" (the round-3
-                # composite row's 96% log_sync is this).
-                "breakdown_note": "log_sync includes device-compute wait "
-                "when enqueue runs ahead (async relay); see source comment",
-                "breakdown_pct": {
-                    k: round(
-                        100.0
-                        * (win["timersN"][k] - win["timers0"][k])
-                        / total,
-                        1,
-                    )
-                    for k in timers
-                },
-                "config": config_to_dict(cfg),
-            }
-            os.makedirs(
-                os.path.dirname(os.path.abspath(cfg.timing_report)),
-                exist_ok=True,
+        if cfg.timing_report:
+            tm.write(
+                cfg.timing_report,
+                tm.report(
+                    batch_size=cfg.batch_size,
+                    extra={"token_shape": list(token_shape)},  # FLOPs grid
+                    h2d_stats=batches.transfer_stats(),
+                    config=config_to_dict(cfg),
+                ),
             )
-            with open(cfg.timing_report, "w") as f:
-                _json.dump(report, f, indent=1)
-            print("timing report:", cfg.timing_report, report["steps_per_sec"],
-                  "steps/s")
         try:
             saver.wait()  # the last async save must land before exit
         except Exception as e:

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from typing import Any, Callable, Iterator, Optional
 
 import jax
@@ -32,6 +33,11 @@ class PrefetchIterator:
         `consumed_state()` then returns the state as of the last batch
         the consumer actually took — not the prefetched-ahead position,
         which would skip up to `depth`+1 batches on resume.
+      probe_every: if > 0, every Nth `device_put` is value-fenced (one
+        element of the shipped batch is read back) and timed, measuring
+        the host->device transfer the async pipeline otherwise hides —
+        the trainer timing report (train/timing.py) ingests the stats.
+        The fence briefly serializes the worker; keep N large.
     """
 
     _SENTINEL = object()
@@ -43,11 +49,15 @@ class PrefetchIterator:
         device_put: bool = True,
         sharding: Optional[Any] = None,
         state_fn: Optional[Callable[[], Any]] = None,
+        probe_every: int = 0,
     ):
         self._make_batch = make_batch
         self._device_put = device_put
         self._sharding = sharding
         self._state_fn = state_fn
+        self._probe_every = int(probe_every)
+        self._n_put = 0
+        self._h2d: list = []  # (bytes, seconds) fenced transfer timings
         # position before any batch is consumed (thread not started yet)
         self._consumed_state = state_fn() if state_fn is not None else None
         self._queue: "queue.Queue[Any]" = queue.Queue(maxsize=depth)
@@ -64,10 +74,28 @@ class PrefetchIterator:
                     self._state_fn() if self._state_fn is not None else None
                 )
                 if self._device_put:
+                    self._n_put += 1
+                    probe = (
+                        self._probe_every > 0
+                        and self._n_put % self._probe_every == 0
+                    )
+                    t0 = time.perf_counter() if probe else 0.0
                     if self._sharding is not None:
                         batch = jax.device_put(batch, self._sharding)
                     else:
                         batch = jax.device_put(batch)
+                    if probe:
+                        from world_modelz_tpu.train.timing import fence_value
+
+                        leaves = jax.tree_util.tree_leaves(batch)
+                        for leaf in leaves:
+                            fence_value(leaf)
+                        nbytes = sum(
+                            getattr(x, "nbytes", 0) for x in leaves
+                        )
+                        self._h2d.append(
+                            (nbytes, time.perf_counter() - t0)
+                        )
             except BaseException as e:  # propagate to consumer
                 self._error = e
                 self._put(self._SENTINEL)
@@ -98,6 +126,22 @@ class PrefetchIterator:
         """Source-iterator state as of the last consumed batch (or the
         initial position if none consumed yet); None without state_fn."""
         return self._consumed_state
+
+    def transfer_stats(self):
+        """Fenced host->device transfer stats (None if never probed)."""
+        if not self._h2d:
+            return None
+        times = sorted(t for _, t in self._h2d)
+        med = times[len(times) // 2]
+        mb = self._h2d[-1][0] / 1e6
+        return {
+            "n_probes": len(self._h2d),
+            "h2d_ms_per_batch": round(med * 1e3, 3),
+            "mb_per_batch": round(mb, 3),
+            "mb_per_sec": round(mb / max(med, 1e-9), 1),
+            "note": "fenced device_put of one prefetched batch (worker "
+            "thread); steady-state puts are async and may overlap compute",
+        }
 
     def close(self):
         self._stop.set()
