@@ -64,15 +64,17 @@ def main():
     key = jax.random.PRNGKey(0)
     x0 = jax.random.normal(key, (b, s, h, w, inner), dtype)
 
-    def fwd_step(qt):
+    def fwd_step(qt, wt=None):
         def step(x):
-            return _fwd_impl_allframes(x, x, x, extents, heads, False, qt)
+            return _fwd_impl_allframes(
+                x, x, x, extents, heads, False, qt, wt
+            )
         return step
 
-    def bwd_step(qt):
+    def bwd_step(qt, wt=None):
         def step(x):
             dq, dk, dv = _bwd_impl_allframes(
-                x, x, x, x, extents, heads, False, qt
+                x, x, x, x, extents, heads, False, qt, wt
             )
             return dq + dk + dv
         return step
@@ -80,25 +82,33 @@ def main():
     def want(family):
         return args.only is None or args.only == family
 
-    for qt in (None, 8, 4, 2) if want("allframes") else ():
-        if qt is not None and (qt >= h or h % qt):
+    # (qt, wt) combos: row bands as before, plus dual-axis column bands
+    # (wt) — the executed-flop lever on the W axis (pick_allframes_wt)
+    combos = [(None, None), (8, None), (4, None), (2, None),
+              (8, 8), (8, 4), (4, 8), (16, 8)]
+    for qt, wt in combos if want("allframes") else ():
+        if qt is not None and (qt > h or h % qt):
             continue
+        if wt is not None and (wt + 2 * extents[2] >= w or w % wt):
+            continue
+        tag = f"qt={qt} wt={wt}"
         if not fits_vmem_allframes(s, h, w, extents, inner // heads, item, qt):
-            print(f"fwd qt={qt}: does not fit")
+            print(f"fwd {tag}: does not fit")
         else:
             us = benchmark_chained(
-                fwd_step(qt), x0, iters_short=40, iters_long=240, trials=3
+                fwd_step(qt, wt), x0, iters_short=40, iters_long=240,
+                trials=3,
             ) * 1e6
-            print(f"fwd qt={qt}: {us:.1f} us")
+            print(f"fwd {tag}: {us:.1f} us")
         if not fits_vmem_allframes_bwd(
             s, h, w, extents, inner // heads, item, qt
         ):
-            print(f"bwd qt={qt}: does not fit")
+            print(f"bwd {tag}: does not fit")
             continue
         us = benchmark_chained(
-            bwd_step(qt), x0, iters_short=40, iters_long=240, trials=3
+            bwd_step(qt, wt), x0, iters_short=40, iters_long=240, trials=3
         ) * 1e6
-        print(f"bwd qt={qt}: {us:.1f} us")
+        print(f"bwd {tag}: {us:.1f} us")
 
     # per-frame-grid variants (the routed path for shapes whose all-frames
     # working set does not fit), banded and unbanded

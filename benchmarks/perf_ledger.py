@@ -327,18 +327,20 @@ def sec_attn_bwd(led: Ledger):
     autodiff, bf16 operands — the hot-path direction whose routing changed
     round 3 (sber 32x32 now takes the flash-style split backward, measured
     695 vs 1107 us for the banded H-tiled it replaced). Useful-flop
-    convention: 2x the forward's two dots (the backward's dp/dq/dk/dv MXU
-    passes; score recompute excluded), matching attn_roofline.py."""
+    convention: 3x the forward's two dots — the timed grad step runs the
+    forward too (jax.grad), so its useful work is fwd (1x) + the
+    backward's dp/dq/dk/dv MXU passes (2x, score recompute excluded) —
+    see `flops_note` in each row's config."""
     from world_modelz_tpu.kernels.local3d import local3d_attention_pallas
     from world_modelz_tpu.models.attention import local3d_attention
 
     on_tpu = jax.default_backend() == "tpu"
 
     def one(tag, b, s, h, w, inner, extents, heads):
-        key = jax.random.PRNGKey(0)
-        q = jax.random.normal(key, (b, s, h, w, inner), jnp.bfloat16)
-        k = jax.random.normal(key, (b, s, h, w, inner), jnp.bfloat16)
-        v = jax.random.normal(key, (b, s, h, w, inner), jnp.bfloat16)
+        kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+        q = jax.random.normal(kq, (b, s, h, w, inner), jnp.bfloat16)
+        k = jax.random.normal(kk, (b, s, h, w, inner), jnp.bfloat16)
+        v = jax.random.normal(kv, (b, s, h, w, inner), jnp.bfloat16)
         fl = 3 * F.local3d_attention_flops(b * s * h * w, extents, inner)
         cfg = dict(
             b=b, s=s, hw=f"{h}x{w}", inner=inner, extents=extents,

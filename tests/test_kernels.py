@@ -504,6 +504,44 @@ def test_allframes_banded_fwd_bwd_parity(rng):
             )
 
 
+def test_allframes_colband_fwd_bwd_parity(rng):
+    """Dual-axis (qt x wt) all-frames tiles match the XLA golden,
+    including clamped edge column bands and the overlapping
+    `_band_add_ax2` dK/dV accumulation (kernels/local3d.py
+    pick_allframes_wt path — column tiles overlap by 2*ew)."""
+    from world_modelz_tpu.kernels.local3d import (
+        _bwd_impl_allframes,
+        _fwd_impl_allframes,
+    )
+
+    extents, heads = (2, 1, 1), 2
+    b, s, h, w, inner = 2, 3, 8, 8, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(b, s, h, w, inner)).astype(np.float32))
+
+    ref = local3d_attention(q, k, v, extents, heads)
+    _, vjp = jax.vjp(
+        lambda q, k, v: local3d_attention(q, k, v, extents, heads), q, k, v
+    )
+    grads_ref = vjp(g)
+    for qt, wt in ((4, 4), (8, 2), (4, 2), (2, 8), (8, 4)):
+        out = _fwd_impl_allframes(q, k, v, extents, heads, True, qt, wt)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5,
+            err_msg=f"fwd qt={qt} wt={wt}",
+        )
+        grads = _bwd_impl_allframes(
+            q, k, v, g, extents, heads, True, qt, wt
+        )
+        for a, b_ in zip(grads, grads_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=5e-4, atol=5e-5,
+                err_msg=f"bwd qt={qt} wt={wt}",
+            )
+
+
 # ---------------------------------------------------------------------------
 # Fused whole-block kernel (local3d_block)
 # ---------------------------------------------------------------------------

@@ -385,6 +385,26 @@ def _band_bounds(height: int, eh: int, h0: int, qt: int):
     return max(0, h0 - eh), min(height, h0 + qt + eh)
 
 
+def pick_allframes_wt(height, width, extents, qt) -> int | None:
+    """Column band for the all-frames kernels (None = full width).
+
+    Like the row band, a wt-column query tile dots only its clamped
+    [w0-ew, w0+wt+ew) key columns — worth (wt+2ew)/W of the executed
+    flops AND of the softmax/mask VPU lanes, at the cost of a shorter
+    MXU stream (M = qt*wt instead of qt*W). Candidates keep M >= 64
+    (measured on v5e: qt=8 wt=8 at 16x16 e=(3,1,1) bf16 beats the
+    full-width qt=8 tile; M < 64 starves the MXU stream). Widths the
+    band cannot shrink (wt + 2ew >= W) stay unbanded."""
+    for wt in (8, 16, 32):
+        if (
+            wt + 2 * extents[2] < width
+            and width % wt == 0
+            and qt * wt >= 64
+        ):
+            return wt
+    return None
+
+
 def _mask_band(seq, height, width, extents, f, h0, qt, lo, hi):
     """(qt*W, Ts*band*W) bool valid-mask for the query row tile [h0,
     h0+qt) of frame f against the key row band [lo, hi). All indices are
@@ -410,50 +430,124 @@ def _mask_band(seq, height, width, extents, f, h0, qt, lo, hi):
     )
 
 
-def _mask_block(seq, height, width, extents, s):
-    """(HW, Ts*HW) bool valid-mask for query frame s — the unbanded
-    special case of `_mask_band` (used by the fused whole-block kernel)."""
-    return _mask_band(seq, height, width, extents, s, 0, height, 0, height)
+def _mask_tile(extents, h0, qt, w0, wt, lo, hi, cl, ch, nj, width):
+    """(qt*wt, nj*nrow*ncol) bool valid-mask for the dual-axis query tile
+    rows [h0, h0+qt) x cols [w0, w0+wt) against the key band rows
+    [lo, hi) x cols [cl, ch) over nj statically-valid temporal offsets.
+
+    Unlike `_mask_band` there is no frame-validity term: the all-frames
+    kernels skip zero-pad temporal offsets in their static unroll, so
+    every offset reaching the MXU is a real frame. All indices are Python
+    ints, so the mask constant-folds."""
+    eh, ew = extents[1], extents[2]
+    nrow, ncol = hi - lo, ch - cl
+    rows_q = qt * wt
+    cols_k = nj * nrow * ncol
+    qi = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols_k), 0)
+    kj = jax.lax.broadcasted_iota(jnp.int32, (rows_q, cols_k), 1)
+    hq = h0 + qi // wt
+    wq = w0 + qi % wt
+    rem = kj % (nrow * ncol)
+    hk = lo + rem // ncol
+    wk = cl + rem % ncol
+    return (jnp.abs(hq - hk) <= eh) & (jnp.abs(wq - wk) <= ew)
+
+
+def _valid_offsets(seq, es, f):
+    """Static temporal-offset range [j0, j1) whose padded key frames
+    f + j hold REAL frames (f + j - es in [0, seq)): the zero-pad
+    offsets outside it are skipped entirely instead of masked — at
+    S=6 es=3 that is 30 of 42 (f, offset) pairs executed (1.4x fewer
+    flops, exps and mask lanes than the masked-dense unroll)."""
+    return max(0, es - f), min(2 * es + 1, es - f + seq)
 
 
 def _attn_kernel_allframes(
     *refs, seq: int, height: int, width: int,
-    extents: Tuple[int, int, int], dh: int, qt: int
+    extents: Tuple[int, int, int], dh: int, qt: int, wt: int | None = None
 ):
     es, eh, ew = extents
-    ts = 2 * es + 1
     q_ref, k_ref, v_ref, o_ref = refs
+    wt = width if wt is None else wt
 
     scale = dh**-0.5
-    # static double unroll: S and H/qt are small here by construction.
-    # Each query row tile dots only its clamped key row band — the
-    # narrow-band lever from the roofline analysis (executed-flop waste
-    # 28.4x full-frame -> 10.7x at qt=4 for 16x16 e=(3,1,1)).
+    # static triple unroll: S, H/qt and W/wt are small here by
+    # construction. Each query tile dots only its statically-valid
+    # temporal offsets and its clamped key row band x column band — the
+    # executed-flop levers from the roofline analysis (masked-dense waste
+    # 28.4x full-frame -> 16x row-banded qt=8 -> ~6.4x with offset
+    # skipping + wt=8 column bands at 16x16 e=(3,1,1)).
     for f in range(seq):
+        j0, j1 = _valid_offsets(seq, es, f)
+        nj = j1 - j0
         for h0 in range(0, height, qt):
             lo, hi = _band_bounds(height, eh, h0, qt)
-            bw = (hi - lo) * width
-            q = q_ref[0, f, h0 * width : (h0 + qt) * width]  # (qt*W, dh)
-            k = k_ref[0, f : f + ts, lo * width : hi * width].reshape(
-                ts * bw, dh
+            nrow = hi - lo
+            kband = k_ref[0, f + j0 : f + j1, lo * width : hi * width]
+            vband = v_ref[0, f + j0 : f + j1, lo * width : hi * width]
+            qrows = q_ref[0, f, h0 * width : (h0 + qt) * width]
+
+            def tile(q, kk, vv, ok):
+                scores = (
+                    jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
+                    * scale
+                )
+                # fewer full-matrix VPU passes than the classic
+                # where/max/exp/div chain: max over the RAW scores (an
+                # upper bound of the masked max — exp stays <= 1), one
+                # fused exp*mask pass, and the normalization moved to the
+                # small (M, dh) output of the PV dot. The executed score
+                # matrix is the kernel's VPU bottleneck at small dh, so
+                # each saved pass is worth ~10% of the op.
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - m) * ok.astype(jnp.float32)
+                l = jnp.sum(p, axis=-1, keepdims=True)
+                return (
+                    jnp.dot(
+                        p.astype(vv.dtype), vv,
+                        preferred_element_type=jnp.float32,
+                    )
+                    / l
+                )
+
+            if wt >= width:
+                ok = _mask_tile(
+                    extents, h0, qt, 0, width, lo, hi, 0, width, nj, width
+                )
+                out = tile(
+                    qrows,
+                    kband.reshape(nj * nrow * width, dh),
+                    vband.reshape(nj * nrow * width, dh),
+                    ok,
+                )
+            else:
+                q4 = qrows.reshape(qt, width, dh)
+                k4 = kband.reshape(nj, nrow, width, dh)
+                v4 = vband.reshape(nj, nrow, width, dh)
+                outs = []
+                for w0 in range(0, width, wt):
+                    cl, ch = max(0, w0 - ew), min(width, w0 + wt + ew)
+                    ncol = ch - cl
+                    ok = _mask_tile(
+                        extents, h0, qt, w0, wt, lo, hi, cl, ch, nj, width
+                    )
+                    o = tile(
+                        q4[:, w0 : w0 + wt].reshape(qt * wt, dh),
+                        k4[:, :, cl:ch].reshape(nj * nrow * ncol, dh),
+                        v4[:, :, cl:ch].reshape(nj * nrow * ncol, dh),
+                        ok,
+                    )
+                    outs.append(o.reshape(qt, wt, dh))
+                out = jnp.concatenate(outs, axis=1).reshape(
+                    qt * width, dh
+                )
+            o_ref[0, f, h0 * width : (h0 + qt) * width] = out.astype(
+                o_ref.dtype
             )
-            v = v_ref[0, f : f + ts, lo * width : hi * width].reshape(
-                ts * bw, dh
-            )
-            scores = (
-                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            )
-            ok = _mask_band(seq, height, width, extents, f, h0, qt, lo, hi)
-            scores = jnp.where(ok, scores, NEG_INF)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores - m)
-            attn = p / jnp.sum(p, axis=-1, keepdims=True)
-            o_ref[0, f, h0 * width : (h0 + qt) * width] = jnp.dot(
-                attn.astype(v.dtype), v, preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
 
 
-def _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt=None):
+def _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt=None,
+                        wt=None):
     es, eh, ew = extents
     b, s, h, w, inner = q.shape
     dh = inner // heads
@@ -477,10 +571,11 @@ def _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt=None):
     qt = h if qt is None else qt
     kernel = functools.partial(
         _attn_kernel_allframes, seq=s, height=h, width=w,
-        extents=extents, dh=dh, qt=qt,
+        extents=extents, dh=dh, qt=qt, wt=wt,
     )
-    ts = 2 * es + 1
     band = min(h, qt + 2 * extents[1])
+    cband = min(w, (wt or w) + 2 * extents[2])
+    navg = min(s, 2 * es + 1)  # statically-valid offsets per frame (avg<=)
     out = pl.pallas_call(
         kernel,
         grid=(b * heads,),
@@ -489,9 +584,9 @@ def _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt=None):
         out_shape=jax.ShapeDtypeStruct((b * heads, s, hw, dh), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * heads * s * hw * ts * band * w * dh,
+            flops=4 * b * heads * s * hw * navg * band * cband * dh,
             bytes_accessed=4 * b * heads * s * hw * dh * 4,
-            transcendentals=b * heads * s * hw * ts * band * w,
+            transcendentals=b * heads * s * hw * navg * band * cband,
         ),
     )(qz, kz, vz)
     return (
@@ -520,77 +615,145 @@ def _band_add(acc, contrib, start):
     return jnp.concatenate(parts, axis=0)
 
 
+def _band_add_ax2(acc, contrib, start):
+    """acc[:, :, start:start+n] += contrib — `_band_add` on axis 2, for
+    folding a column-banded dK/dV tile (nj, nrow, ncol, dh) into the
+    full-width (nj, nrow, W, dh) accumulator. Column tiles OVERLAP by
+    2*ew, so this must add, not concatenate tiles side by side."""
+    n = contrib.shape[2]
+    total = acc.shape[2]
+    if n == total:
+        return acc + contrib
+    parts = []
+    if start > 0:
+        parts.append(acc[:, :, :start])
+    parts.append(acc[:, :, start : start + n] + contrib)
+    if start + n < total:
+        parts.append(acc[:, :, start + n :])
+    return jnp.concatenate(parts, axis=2)
+
+
 def _bwd_kernel_allframes(
     *refs, seq: int, height: int, width: int,
-    extents: Tuple[int, int, int], dh: int, qt: int
+    extents: Tuple[int, int, int], dh: int, qt: int, wt: int | None = None
 ):
     es, eh, ew = extents
     hw = height * width
-    ts = 2 * es + 1
     q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+    wt = width if wt is None else wt
 
     scale = dh**-0.5
     # per-padded-frame f32 accumulator rows. A whole-tensor zero-pad + add
     # per query frame (the previous formulation) kept `seq` live
     # (S+2es, HW, dh) temporaries on the Mosaic stack — 17.3 MB at the b64
     # m3 shape, over the 16 MB scoped-VMEM limit. Row-granular static
-    # updates touch only the ts rows a frame actually contributes to.
+    # updates touch only the rows a frame actually contributes to.
     npf = seq + 2 * es
     dk_rows = [jnp.zeros((hw, dh), jnp.float32) for _ in range(npf)]
     dv_rows = [jnp.zeros((hw, dh), jnp.float32) for _ in range(npf)]
     for f in range(seq):
+        j0, j1 = _valid_offsets(seq, es, f)
+        nj = j1 - j0
         for h0 in range(0, height, qt):
             lo, hi = _band_bounds(height, eh, h0, qt)
-            bw = (hi - lo) * width
-            q = q_ref[0, f, h0 * width : (h0 + qt) * width]
-            g = g_ref[0, f, h0 * width : (h0 + qt) * width]
-            k = k_ref[0, f : f + ts, lo * width : hi * width].reshape(
-                ts * bw, dh
-            )
-            v = v_ref[0, f : f + ts, lo * width : hi * width].reshape(
-                ts * bw, dh
-            )
-            scores = (
-                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
-            )
-            ok = _mask_band(seq, height, width, extents, f, h0, qt, lo, hi)
-            scores = jnp.where(ok, scores, NEG_INF)
-            m = jnp.max(scores, axis=-1, keepdims=True)
-            p = jnp.exp(scores - m)
-            attn = p / jnp.sum(p, axis=-1, keepdims=True)
+            nrow = hi - lo
+            qrows = q_ref[0, f, h0 * width : (h0 + qt) * width]
+            grows = g_ref[0, f, h0 * width : (h0 + qt) * width]
+            kband = k_ref[0, f + j0 : f + j1, lo * width : hi * width]
+            vband = v_ref[0, f + j0 : f + j1, lo * width : hi * width]
 
-            dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
-            row = jnp.sum(dp * attn, axis=-1, keepdims=True)
-            dscores = attn * (dp - row)
-            ds_lo = dscores.astype(q.dtype)
-            at_lo = attn.astype(g.dtype)
+            def tile(q, g, kk, vv, ok):
+                scores = (
+                    jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
+                    * scale
+                )
+                # raw-max + fused exp*mask (see the forward kernel's note)
+                m = jnp.max(scores, axis=-1, keepdims=True)
+                p = jnp.exp(scores - m) * ok.astype(jnp.float32)
+                attn = p / jnp.sum(p, axis=-1, keepdims=True)
 
-            dq_ref[0, f, h0 * width : (h0 + qt) * width] = (
-                jnp.dot(ds_lo, k, preferred_element_type=jnp.float32)
-                * scale
-            ).astype(dq_ref.dtype)
-            dk_f = (
-                jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32)
-                * scale
-            ).reshape(ts, bw, dh)
-            dv_f = jnp.dot(
-                at_lo.T, g, preferred_element_type=jnp.float32
-            ).reshape(ts, bw, dh)
+                dp = jnp.dot(g, vv.T, preferred_element_type=jnp.float32)
+                row = jnp.sum(dp * attn, axis=-1, keepdims=True)
+                dscores = attn * (dp - row)
+                ds_lo = dscores.astype(q.dtype)
+                at_lo = attn.astype(g.dtype)
+
+                dq = (
+                    jnp.dot(ds_lo, kk, preferred_element_type=jnp.float32)
+                    * scale
+                )
+                dk = (
+                    jnp.dot(ds_lo.T, q, preferred_element_type=jnp.float32)
+                    * scale
+                )
+                dv = jnp.dot(
+                    at_lo.T, g, preferred_element_type=jnp.float32
+                )
+                return dq, dk, dv
+
+            if wt >= width:
+                ok = _mask_tile(
+                    extents, h0, qt, 0, width, lo, hi, 0, width, nj, width
+                )
+                dq, dkb, dvb = tile(
+                    qrows, grows,
+                    kband.reshape(nj * nrow * width, dh),
+                    vband.reshape(nj * nrow * width, dh),
+                    ok,
+                )
+                dk_f = dkb.reshape(nj, nrow * width, dh)
+                dv_f = dvb.reshape(nj, nrow * width, dh)
+            else:
+                q4 = qrows.reshape(qt, width, dh)
+                g4 = grows.reshape(qt, width, dh)
+                k4 = kband.reshape(nj, nrow, width, dh)
+                v4 = vband.reshape(nj, nrow, width, dh)
+                dqs = []
+                dk_acc = jnp.zeros((nj, nrow, width, dh), jnp.float32)
+                dv_acc = jnp.zeros((nj, nrow, width, dh), jnp.float32)
+                for w0 in range(0, width, wt):
+                    cl, ch = max(0, w0 - ew), min(width, w0 + wt + ew)
+                    ncol = ch - cl
+                    ok = _mask_tile(
+                        extents, h0, qt, w0, wt, lo, hi, cl, ch, nj, width
+                    )
+                    dqt, dkt, dvt = tile(
+                        q4[:, w0 : w0 + wt].reshape(qt * wt, dh),
+                        g4[:, w0 : w0 + wt].reshape(qt * wt, dh),
+                        k4[:, :, cl:ch].reshape(nj * nrow * ncol, dh),
+                        v4[:, :, cl:ch].reshape(nj * nrow * ncol, dh),
+                        ok,
+                    )
+                    dqs.append(dqt.reshape(qt, wt, dh))
+                    dk_acc = _band_add_ax2(
+                        dk_acc, dkt.reshape(nj, nrow, ncol, dh), cl
+                    )
+                    dv_acc = _band_add_ax2(
+                        dv_acc, dvt.reshape(nj, nrow, ncol, dh), cl
+                    )
+                dq = jnp.concatenate(dqs, axis=1).reshape(qt * width, dh)
+                dk_f = dk_acc.reshape(nj, nrow * width, dh)
+                dv_f = dv_acc.reshape(nj, nrow * width, dh)
+            dq_ref[0, f, h0 * width : (h0 + qt) * width] = dq.astype(
+                dq_ref.dtype
+            )
             # each program owns the whole clip: accumulate straight onto
             # the padded key frames (no cross-program races, no host-side
-            # fold); banded tiles land on their [lo, hi) row slice.
-            for j in range(ts):
-                dk_rows[f + j] = _band_add(
-                    dk_rows[f + j], dk_f[j], lo * width
+            # fold); banded tiles land on their [lo, hi) row slice, and
+            # only statically-valid offsets contribute at all.
+            for j in range(nj):
+                dk_rows[f + j0 + j] = _band_add(
+                    dk_rows[f + j0 + j], dk_f[j], lo * width
                 )
-                dv_rows[f + j] = _band_add(
-                    dv_rows[f + j], dv_f[j], lo * width
+                dv_rows[f + j0 + j] = _band_add(
+                    dv_rows[f + j0 + j], dv_f[j], lo * width
                 )
     dk_ref[0] = jnp.stack(dk_rows).astype(dk_ref.dtype)
     dv_ref[0] = jnp.stack(dv_rows).astype(dv_ref.dtype)
 
 
-def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt=None):
+def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt=None,
+                        wt=None):
     es, eh, ew = extents
     b, s, h, w, inner = q.shape
     dh = inner // heads
@@ -614,7 +777,7 @@ def _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt=None):
     qt = h if qt is None else qt
     kernel = functools.partial(
         _bwd_kernel_allframes, seq=s, height=h, width=w,
-        extents=extents, dh=dh, qt=qt,
+        extents=extents, dh=dh, qt=qt, wt=wt,
     )
     dq, dk_p, dv_p = pl.pallas_call(
         kernel,
@@ -1320,7 +1483,10 @@ def _route_fwd(q, k, v, extents, heads, interpret):
         s, h, w, extents, dh, jnp.dtype(q.dtype).itemsize
     )
     if qt is not None:
-        return _fwd_impl_allframes(q, k, v, extents, heads, interpret, qt)
+        wt = pick_allframes_wt(h, w, extents, qt)
+        return _fwd_impl_allframes(
+            q, k, v, extents, heads, interpret, qt, wt
+        )
     qt = pick_frame_band(
         s, h, w, extents, dh, False, jnp.dtype(q.dtype).itemsize
     )
@@ -1341,7 +1507,10 @@ def _route_bwd(q, k, v, g, extents, heads, interpret):
     item = jnp.dtype(q.dtype).itemsize
     qt = pick_allframes_band(s, h, w, extents, dh, item, bwd=True)
     if qt is not None:
-        return _bwd_impl_allframes(q, k, v, g, extents, heads, interpret, qt)
+        wt = pick_allframes_wt(h, w, extents, qt)
+        return _bwd_impl_allframes(
+            q, k, v, g, extents, heads, interpret, qt, wt
+        )
     qt = pick_frame_band(s, h, w, extents, dh, True, item)
     if qt is not None:
         return _bwd_impl(q, k, v, g, extents, heads, interpret, qt)

@@ -53,12 +53,12 @@ from world_modelz_tpu.kernels.local3d import (
     _band_bounds,
     _band_candidates,
     _mask_band,
-    _mask_block,
 )
 
-# the fused block holds two full input clips + projections + one frame's
-# f32 score matrix; give it more headroom than the attention-only kernels
-# but stay under the ~16 MiB/core VMEM with room for double buffering
+# the fused block holds two full input clips + projections + one banded
+# query tile's f32 score block ((qt*W, Ts*band*W) — see fits_vmem_block);
+# give it more headroom than the attention-only kernels but stay under the
+# ~16 MiB/core VMEM with room for double buffering
 _BLOCK_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
@@ -76,17 +76,24 @@ def fits_vmem_block(
     """Whether one fused-block program (a whole clip) fits the VMEM budget.
 
     Working set: x_kv + q_in clips, padded k/v + q projections, one
-    (HW, Ts*HW) f32 score matrix (+ its exp), the attention-output staging
-    clip, the output clip, and the four weight matrices. Operands are sized
-    at their dtype (`itemsize`); scores are always f32.
-    """
+    BANDED query tile's f32 score block (+ its exp) — the kernel runs
+    `_band_candidates` row bands, so the live score is
+    (qt*W, Ts*(qt+2eh)*W), not the full (HW, Ts*HW) — the
+    attention-output staging clip, the output clip, and the four weight
+    matrices. Operands are sized at their dtype (`itemsize`); scores are
+    always f32. The score term is sized at the narrowest band the kernel
+    would select (the same `next(_band_candidates)` choice the caller
+    makes), so the gate admits every shape the banded kernel can fit."""
     hw = height * width
-    es = extents[0]
+    es, eh = extents[0], extents[1]
     ts = 2 * es + 1
     inner = heads * dh
     clips_in = 2 * seq * hw * dim * itemsize
     proj = (2 * (seq + 2 * es) + seq) * hw * inner * itemsize
-    score = hw * ts * hw * 4 * 2
+    qt = next((c for c in _band_candidates(height, width, eh) if c < height),
+              height)
+    band = min(height, qt + 2 * eh)
+    score = qt * width * ts * band * width * 4 * 2
     staging = seq * hw * inner * itemsize
     out = seq * hw * out_dim * itemsize
     weights = (3 * dim * inner + inner * out_dim) * itemsize
