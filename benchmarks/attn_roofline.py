@@ -83,21 +83,27 @@ def executed_attn_flops(cfg: dict) -> tuple[int, str] | None:
     ext = (es, 1, 1)
     eh = 1
 
-    def banded(qt, tag):
+    def banded(qt, tag, allframes=False):
         # exact executed work across tiles: edge tiles have clamped
-        # (smaller) key bands
+        # (smaller) key bands; the all-frames kernels additionally skip
+        # statically-invalid temporal offsets (zero-pad frames), so each
+        # query frame executes only its nj <= Ts real offsets
         dots = 0
-        for h0 in range(0, h, qt):
-            lo, hi = max(0, h0 - eh), min(h, h0 + qt + eh)
-            dots += (qt * w) * (ts * (hi - lo) * w)
-        fl = 2 * 2 * b * s * dots * dh
-        keys = round(dots / hw)
+        for f in range(s):
+            nj = (
+                min(ts, es - f + s) - max(0, es - f) if allframes else ts
+            )
+            for h0 in range(0, h, qt):
+                lo, hi = max(0, h0 - eh), min(h, h0 + qt + eh)
+                dots += (qt * w) * (nj * (hi - lo) * w)
+        fl = 2 * 2 * b * dots * dh
+        keys = round(dots / (s * hw))
         band_tag = f" qt={qt}" if qt < h else ""
         return fl, f"{tag}{band_tag}: ~{keys} keys/query masked-dense"
 
     qt = K.pick_allframes_band(s, h, w, ext, dh, 4)  # f32 bench operands
     if qt is not None:
-        return banded(qt, "all-frames")
+        return banded(qt, "all-frames", allframes=True)
     qt = K.pick_frame_band(s, h, w, ext, dh)
     if qt is not None:
         return banded(qt, "per-frame")

@@ -438,7 +438,9 @@ def test_allframes_route_selection():
     # banding: the flagship bwd now fits all-frames (bf16 at qt=8), and
     # the 32-frame forward fits at qt=8
     assert pick_allframes_band(6, 16, 16, (3, 1, 1), 128, 2, bwd=True) == 8
-    assert pick_allframes_band(32, 16, 16, (3, 1, 1), 128, 2) == 8
+    # forward admits narrower bands (min_m=64) than the backward
+    assert pick_allframes_band(32, 16, 16, (3, 1, 1), 128, 2) == 4
+    assert pick_allframes_band(6, 16, 16, (3, 1, 1), 128, 2) == 4
     # a grid too large even banded falls through to the tiled/per-frame path
     assert pick_allframes_band(32, 64, 64, (3, 1, 1), 128, 2) is None
 

@@ -95,18 +95,21 @@ def fits_vmem(
     return total <= _VMEM_BUDGET_BYTES
 
 
-def _band_candidates(height: int, width: int, eh: int):
-    """qt preference order: narrowest band whose M dim still fills the
-    MXU sublane tile (qt*W >= 128), wider full-M bands, then the unbanded
-    whole frame. Bands with qt*W < 128 are NEVER candidates — measured on
-    v5e (benchmarks/band_ab.py): at 16x16 e=(3,1,1) bf16, qt=8 (M=128)
-    beats qt=4 (the M-starved tile loses more than the extra flop cut
-    gains) and both beat unbanded; at the as-trained 8x8 grid qt=4 (M=32)
-    is ~1.8x WORSE than unbanded. Bands that cover the whole height
-    anyway (qt + 2eh >= height) save no flops and are excluded too."""
+def _band_candidates(height: int, width: int, eh: int, min_m: int = 128):
+    """qt preference order: narrowest band whose M dim is at least
+    `min_m` MXU stream rows, wider full-M bands, then the unbanded whole
+    frame. Measured on v5e (benchmarks/band_ab.py, 16x16 e=(3,1,1)
+    bf16): with the fused exp*mask softmax the FORWARD prefers qt=4
+    (M=64, 45.7 us) over qt=8 (59.0 us) — the executed-flop/VPU cut
+    beats the shorter MXU stream — so forward callers pass min_m=64;
+    the BACKWARD (more MXU passes per tile) keeps qt=8/M=128 (88.6 vs
+    114.0 us at qt=4), the default. At the as-trained 8x8 grid every
+    banded variant was measured worse than unbanded (M <= 32); min_m
+    filters those out. Bands that cover the whole height anyway
+    (qt + 2eh >= height) save no flops and are excluded too."""
     return [
         qt for qt in (2, 4, 8, 16, 32, 64)
-        if qt + 2 * eh < height and height % qt == 0 and qt * width >= 128
+        if qt + 2 * eh < height and height % qt == 0 and qt * width >= min_m
     ] + [height]
 
 
@@ -370,11 +373,15 @@ def pick_allframes_band(
     Every query at (h, w) only attends to key rows within ±eh, so dotting
     a qt-row query tile against the clamped [h0-eh, h0+qt+eh) key band
     skips most of the masked-dense waste the roofline analysis measured
-    (28.4x executed flops at 16x16 e=(3,1,1) full-frame; 10.7x at qt=4).
-    Preference order per `_band_candidates`. Returns the winning qt
-    (== height means unbanded)."""
+    (28.4x executed flops at 16x16 e=(3,1,1) full-frame; ~7x at qt=4
+    with static offset skipping). Preference order per
+    `_band_candidates` — the forward admits narrower bands (M >= 64)
+    than the backward (M >= 128), per the band_ab measurements. Returns
+    the winning qt (== height means unbanded)."""
     fits = fits_vmem_allframes_bwd if bwd else fits_vmem_allframes
-    for qt in _band_candidates(height, width, extents[1]):
+    for qt in _band_candidates(
+        height, width, extents[1], min_m=128 if bwd else 64
+    ):
         if fits(seq, height, width, extents, dh, itemsize, qt):
             return qt
     return None
@@ -386,22 +393,22 @@ def _band_bounds(height: int, eh: int, h0: int, qt: int):
 
 
 def pick_allframes_wt(height, width, extents, qt) -> int | None:
-    """Column band for the all-frames kernels (None = full width).
+    """Column band for the all-frames kernels — measured NEGATIVE
+    verdict, never routed (None = full width).
 
-    Like the row band, a wt-column query tile dots only its clamped
-    [w0-ew, w0+wt+ew) key columns — worth (wt+2ew)/W of the executed
-    flops AND of the softmax/mask VPU lanes, at the cost of a shorter
-    MXU stream (M = qt*wt instead of qt*W). Candidates keep M >= 64
-    (measured on v5e: qt=8 wt=8 at 16x16 e=(3,1,1) bf16 beats the
-    full-width qt=8 tile; M < 64 starves the MXU stream). Widths the
-    band cannot shrink (wt + 2ew >= W) stay unbanded."""
-    for wt in (8, 16, 32):
-        if (
-            wt + 2 * extents[2] < width
-            and width % wt == 0
-            and qt * wt >= 64
-        ):
-            return wt
+    In principle a wt-column query tile dots only its clamped
+    [w0-ew, w0+wt+ew) key columns, cutting executed flops by
+    ~(wt+2ew)/W on top of the row band. In practice the column slice of
+    the loaded key band ((nj, nrow, W, dh)[:, :, cl:ch]) leaves the
+    second-minor dim at wt+2ew — not a sublane multiple at any wt that
+    divides these widths — so every tile pays a full relayout of its
+    key/value block. Measured on v5e (benchmarks/band_ab.py, m3 16x16
+    e=(3,1,1)): fwd qt=8 wt=8 79-112 us and qt=8 wt=4 315-510 us vs
+    45.7 us for the routed row-banded qt=4 — 2-11x WORSE at every
+    measured (qt, wt). The kernels keep the wt parameter (parity-tested,
+    tests/test_kernels.py::test_allframes_colband_fwd_bwd_parity) for
+    future shapes where wt+2ew lands on a sublane multiple; the router
+    never selects it."""
     return None
 
 
