@@ -51,6 +51,10 @@ class ServeHTTPConfig:
     num_frames: int = 8  # generated frames per request
     num_iterations: int = 30  # unmask iterations per frame (main2.py:81)
     topk: int = -1
+    # "fast" (10 iterations, topk 25 — swept-optimal, ~3x rollout
+    # throughput at matched FVD/better PSNR) or "reference" (30, -1);
+    # see cli/rollout.py SAMPLER_PRESETS. Empty = explicit flags above.
+    preset: str = ""
     batch_size: int = 8  # max coalesced batch (power-of-two ladder below)
     max_wait_s: float = 0.05
     # serve lone requests immediately when the arrival rate cannot fill a
@@ -76,6 +80,17 @@ def build_service(cfg: ServeHTTPConfig):
         )
         return svc, f"aot:{cfg.exported}"
 
+    if cfg.preset:
+        import dataclasses as _dc
+
+        from world_modelz_tpu.cli.rollout import SAMPLER_PRESETS
+
+        p = SAMPLER_PRESETS[cfg.preset]
+        cfg = _dc.replace(
+            cfg, num_iterations=p["num_eval_iterations"], topk=p["topk"]
+        )
+        print(f"sampler preset {cfg.preset}: {cfg.num_iterations} "
+              f"iterations, topk {cfg.topk}")
     state, step, config = restore_checkpoint(cfg.checkpoint)
     train_cfg = config_from_dict(VideoDiffusionConfig, config)
     params = (
