@@ -173,6 +173,13 @@ def run(
             # calibrates the architecture-matched extractor without weights
             model, variables = F.i3d_init()
             return lambda v: F.i3d_features(model, variables, v)
+        if name == "tokenizer":
+            # learned second-opinion features (needs --tokenizer)
+            if not tokenizer:
+                raise ValueError(
+                    "extractor 'tokenizer' needs --tokenizer <checkpoint>"
+                )
+            return F.make_tokenizer_extractor(tokenizer)
         return F.make_extractor(name)
 
     report = {"clips": clips, "frames": frames, "noise_floor": {}, "curves": {}}

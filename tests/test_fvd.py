@@ -179,3 +179,49 @@ def test_fvd_calibration_tool_end_to_end(tmp_path):
     drop = curves["dropout"]
     assert drop[-1]["fvd"] > drop[0]["fvd"]
     assert drop[-1]["fvd"] > rep["noise_floor"]["tiny"]["fvd"]
+
+
+def test_tokenizer_extractor_discriminates(tmp_path):
+    """The learned second-opinion extractor (utils/fvd.
+    make_tokenizer_extractor — pooled pre-VQ encoder latents + motion
+    energy) separates real clips from corrupted ones above its own
+    real-vs-real noise floor, like the tiny extractor it corroborates."""
+    import numpy as np
+
+    from world_modelz_tpu.cli.train_vqae import TrainVqaeConfig, train
+    from world_modelz_tpu.data import MovingMNIST
+    from world_modelz_tpu.utils import fvd as F
+
+    out = str(tmp_path / "tok")
+    _state, info = train(TrainVqaeConfig(
+        batch_size=8, image_size=32, max_steps=12, downscale_steps=2,
+        embedding_dim=8, hidden_planes=16, num_embeddings=32,
+        dataset="moving_mnist", in_channels=1,
+        checkpoint_interval=12, vq_reuse_interval=6, log_interval=6,
+        output_dir=out, name="t",
+    ))
+    ex = F.make_extractor("tokenizer", weights=info["checkpoint"])
+
+    ds = MovingMNIST(seq_len=4, image_size=32, digit_size=12,
+                     deterministic=False)
+    rng = np.random.default_rng(0)
+    real = ds.sample_batch(rng, 16)
+    held = ds.sample_batch(rng, 16)
+    # temporal shuffle destroys dynamics but keeps per-frame appearance —
+    # what the motion-energy term catches (per-clip derangement)
+    shuf = np.stack([c[np.roll(np.arange(4), 1 + i % 3)]
+                     for i, c in enumerate(held)])
+    # appearance corruption: heavy pixel dropout
+    drop = held * (rng.random(held.shape) > 0.5)
+
+    rf = F.extract_features(ex, real, 8)
+    assert rf.shape == (16, 3 * 8)
+    floor, _, floor_hi = F.fvd_bootstrap(
+        rf, F.extract_features(ex, held, 8), n_boot=40
+    )
+    shuffled = F.fvd_from_features(rf, F.extract_features(ex, shuf, 8))
+    dropped, drop_lo, _ = F.fvd_bootstrap(
+        rf, F.extract_features(ex, drop, 8), n_boot=40
+    )
+    assert shuffled > floor  # temporal dynamics register at all
+    assert drop_lo > floor_hi  # appearance break resolvable above floor

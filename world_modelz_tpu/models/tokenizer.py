@@ -207,6 +207,18 @@ class VQAutoEncoder:
             return idx.reshape(h.shape[:-1])
         return vq_encode(state.vq, h)
 
+    def encode_continuous(
+        self, state: TokenizerState, x: jnp.ndarray
+    ) -> jnp.ndarray:
+        """Images -> PRE-quantization encoder latents (B, h, w, D).
+
+        The continuous features feeding the VQ — used as a learned,
+        domain-trained feature space for quality metrics
+        (utils/fvd.make_tokenizer_extractor, the second-opinion FVD
+        extractor). Eval-mode BN."""
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        return self.module.apply(variables, x, train=False, method="encode")
+
     def decode(self, state: TokenizerState, tokens: jnp.ndarray) -> jnp.ndarray:
         """Token grid -> images (train_vqae.py:51-55). Eval-mode BN."""
         vectors = vq_decode(state.vq, tokens[..., None]).squeeze(-2)
