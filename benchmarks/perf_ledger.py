@@ -871,6 +871,42 @@ def sec_serve(led: Ledger):
     )
 
 
+def sec_serve_suite(led: Ledger):
+    """Ingest the serving matrix (benchmarks/serve_bench.py --suite,
+    artifacts/serve_suite.json) as ledger rows — occupancy ladder,
+    sessions vs resubmit, swept-fast preset, ladder 16, overload with
+    deadlines. MFU uses the same per-request pipeline FLOPs model as
+    sec_serve, scaled by each row's iteration count (sessions skip the
+    seed encode)."""
+    path = os.path.join(os.path.dirname(OUT_DEFAULT), "serve_suite.json")
+    if not os.path.exists(path):
+        print(f"serve_suite: no {path} — run "
+              "benchmarks/serve_bench.py --suite first; skipping")
+        return
+    with open(path) as f:
+        rep = json.load(f)
+    S, IMG = 6, 64
+    h = w = IMG // 8
+    T = rep["frames_per_clip"]
+    enc = S * F.vqae_encode_flops(
+        (IMG, IMG), 1, 64, 128, 3
+    ) + F.vq_search_flops(S * h * w, 512, 64)
+    fwdf = F.local3d_transformer_flops(1, (S, h, w), num_classes=512, **M3)
+    dec = T * F.vqae_decode_flops((IMG, IMG), 1, 64, 128, 3)
+    for r in rep["rows"]:
+        iters = r.get("iterations", 30)
+        per_req = (0 if r["name"] == "serve/session" else enc) \
+            + T * iters * fwdf + dec
+        n = r["requests"]
+        led.record(
+            r["name"],
+            r["wall_s"] / max(n, 1),
+            per_req,
+            **{k: v for k, v in r.items()
+               if k not in ("name", "wall_s", "stats")},
+        )
+
+
 def sec_denoise(led: Ledger):
     fwd = F.local3d_transformer_flops(M3_B, M3_SHAPE, num_classes=M3_K, **M3)
     backends = ["xla"] + (
@@ -1013,6 +1049,7 @@ SECTIONS = {
     "train_e2e_sparse": sec_train_e2e_sparse,
     "train_sparse": sec_train_sparse_step,
     "serve": sec_serve,
+    "serve_suite": sec_serve_suite,
     "denoise": sec_denoise,
 }
 

@@ -8,14 +8,211 @@ to host numpy (`np.asarray`) before its futures resolve — wall-clock spans
 real device work + readback, amortized over requests.
 
 Run: python benchmarks/serve_bench.py [--requests 32] [--batch 8]
+
+`--suite` runs the serving matrix VERDICT r3 asked for — occupancy
+25/50/100% (the compiled-size-ladder win), sessions (encode-once) vs
+naive resubmit, a larger ladder (batch 16), the swept-optimal sampler
+preset (10 iterations), and an overload curve with queue deadlines where
+`stats['expired']` is actually observed — and writes
+artifacts/serve_suite.json (ingested by perf_ledger section serve_suite).
 """
 
 import argparse
+import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+SUITE_OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "serve_suite.json",
+)
+
+
+def build_service(batch, frames, iterations, **kw):
+    from world_modelz_tpu.models import VQAutoEncoder
+    from world_modelz_tpu.models.video import VqVideoDiffusionModel
+    from world_modelz_tpu.serve import RolloutService
+
+    S, IMG = 6, 64
+    tok = VQAutoEncoder(
+        embedding_dim=64, num_embeddings=512, downscale_steps=3,
+        hidden_planes=128, in_channels=1,
+    )
+    key = jax.random.PRNGKey(0)
+    tok_state = tok.init(key, jnp.zeros((1, IMG, IMG, 1)))
+    h = w = IMG // 8
+    model = VqVideoDiffusionModel(
+        data_shape=(S, h, w), dim=384, num_classes=512, extents=(3, 1, 1),
+        depth=20, dim_head=128, mlp_dim=512, heads=1,
+        use_checkpointing=False,
+    )
+    params = model.init(key, jnp.zeros((1, S, h, w), jnp.int32))["params"]
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+        params,
+    )
+    svc = RolloutService(
+        tok, tok_state, model, params,
+        num_frames=frames, num_iterations=iterations, batch_size=batch,
+        **kw,
+    )
+    clips = np.random.default_rng(0).uniform(
+        size=(32, S, IMG, IMG, 1)
+    ).astype(np.float32)
+    return svc, clips
+
+
+def _warm(svc, clips, k):
+    futs = [svc.submit(c) for c in clips[:k]]
+    [f.result() for f in futs]
+
+
+def suite(frames=8):
+    """The serving matrix -> artifacts/serve_suite.json rows."""
+    rows = []
+
+    def row(name, n_done, dt, svc, **extra):
+        r = {
+            "name": name, "clips_per_sec": round(n_done / dt, 3),
+            "frames_per_sec": round(n_done * frames / dt, 1),
+            "wall_s": round(dt, 3), "requests": n_done,
+            "stats": dict(svc.stats), **extra,
+        }
+        rows.append(r)
+        print(json.dumps(r))
+
+    # ---- occupancy ladder: bursts of k against a batch-8 service -------
+    svc, clips = build_service(8, frames, 30, max_wait_s=0.2)
+    try:
+        _warm(svc, clips, 8)
+        for k, tag in ((8, "occ100"), (4, "occ50"), (2, "occ25")):
+            # warm the size-k compiled program outside the timed window
+            [f.result() for f in [svc.submit(c) for c in clips[:k]]]
+            t0 = time.perf_counter()
+            done = 0
+            for _ in range(24 // k):
+                futs = [svc.submit(c) for c in clips[:k]]
+                [f.result() for f in futs]
+                done += k
+            row(f"serve/{tag}", done, time.perf_counter() - t0, svc,
+                burst=k, batch=8, iterations=30,
+                note="bursts of k: the ladder compiles/runs the size-k "
+                "program instead of padding to 8")
+    finally:
+        svc.close()
+
+    # ---- sessions (encode-once) vs naive resubmit ----------------------
+    svc, clips = build_service(8, frames, 30, max_wait_s=0.2)
+    try:
+        _warm(svc, clips, 8)
+        sessions = [svc.open_session(clips[i]) for i in range(8)]
+        # warm the session rollout path (context already tokens)
+        [f.result() for f in [s.generate_async() for s in sessions]]
+        t0 = time.perf_counter()
+        for _ in range(3):
+            futs = [s.generate_async() for s in sessions]
+            [f.result() for f in futs]
+        row("serve/session", 24, time.perf_counter() - t0, svc,
+            batch=8, iterations=30,
+            note="seed encoded once per stream; generates continue from "
+            "device-rolled token context")
+        t0 = time.perf_counter()
+        for i in range(3):
+            futs = [svc.submit(c) for c in clips[:8]]
+            [f.result() for f in futs]
+        row("serve/resubmit", 24, time.perf_counter() - t0, svc,
+            batch=8, iterations=30,
+            note="naive per-request pixel resubmit (re-encodes the seed "
+            "every time) — the session baseline")
+    finally:
+        svc.close()
+
+    # ---- swept-optimal sampler preset (10 iterations, sampler_sweep) ---
+    svc, clips = build_service(8, frames, 10, max_wait_s=0.2)
+    try:
+        _warm(svc, clips, 8)
+        t0 = time.perf_counter()
+        futs = [svc.submit(c) for c in clips[:24]]
+        [f.result() for f in futs]
+        row("serve/preset_fast", 24, time.perf_counter() - t0, svc,
+            batch=8, iterations=10,
+            note="swept operating point (artifacts/sampler_sweep*.json: "
+            "10 iters matched/beat 30 on FVD and PSNR)")
+    finally:
+        svc.close()
+
+    # ---- larger ladder ---------------------------------------------------
+    svc, clips = build_service(16, frames, 30, max_wait_s=0.3)
+    try:
+        _warm(svc, clips, 16)
+        t0 = time.perf_counter()
+        futs = [svc.submit(c) for c in clips]
+        [f.result() for f in futs]
+        row("serve/ladder16", 32, time.perf_counter() - t0, svc,
+            batch=16, iterations=30)
+    finally:
+        svc.close()
+
+    # ---- overload + deadlines + adaptive wait ---------------------------
+    for adaptive in (False, True):
+        svc, clips = build_service(
+            8, frames, 30, max_wait_s=0.05, adaptive_wait=adaptive
+        )
+        try:
+            _warm(svc, clips, 8)
+            # measure one full batch's service latency, then offer 4x the
+            # sustainable load with deadlines ~1.5 batches out: requests
+            # past the deadline must be SHED (TimeoutError), not served
+            # late
+            t0 = time.perf_counter()
+            [f.result() for f in [svc.submit(c) for c in clips[:8]]]
+            lat = time.perf_counter() - t0
+            deadline = 1.5 * lat
+            t0 = time.perf_counter()
+            futs = [
+                svc.submit(clips[i % 32], timeout_s=deadline)
+                for i in range(64)
+            ]
+            served = expired = 0
+            for f in futs:
+                try:
+                    f.result()
+                    served += 1
+                except TimeoutError:
+                    expired += 1
+            dt = time.perf_counter() - t0
+            row(
+                f"serve/overload{'_adaptive' if adaptive else ''}",
+                served, dt, svc,
+                batch=8, iterations=30, offered=64, served=served,
+                expired=expired, deadline_s=round(deadline, 3),
+                batch_latency_s=round(lat, 3),
+                note="4x overload with queue deadlines: past-deadline "
+                "requests are shed (TimeoutError), not served late",
+            )
+            assert expired > 0, "overload never tripped the deadline shed"
+        finally:
+            svc.close()
+
+    out = {
+        "about": (
+            "RolloutService matrix at model-#3 8x8 scale: occupancy "
+            "ladder, sessions vs resubmit, swept-fast preset, ladder 16, "
+            "overload with deadlines; honest wall (results materialize "
+            "to host numpy before futures resolve)"
+        ),
+        "frames_per_clip": frames,
+        "device": jax.devices()[0].device_kind,
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(SUITE_OUT), exist_ok=True)
+    with open(SUITE_OUT, "w") as f:
+        json.dump(out, f, indent=1)
+    print("->", SUITE_OUT)
 
 
 def main():
@@ -26,12 +223,17 @@ def main():
     p.add_argument("--iterations", type=int, default=30)
     p.add_argument("--platform", default="")
     p.add_argument("--mode", default="submit", choices=["submit", "session"])
+    p.add_argument("--suite", action="store_true",
+                   help="run the full serving matrix -> serve_suite.json")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     from world_modelz_tpu.utils import compcache
 
     compcache.enable()
+    if args.suite:
+        suite(frames=args.frames)
+        return
 
     from world_modelz_tpu.models import VQAutoEncoder
     from world_modelz_tpu.models.video import VqVideoDiffusionModel
