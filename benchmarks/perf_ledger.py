@@ -592,6 +592,11 @@ def sec_train_e2e(led: Ledger):
             rep["batch_size"], shape, num_classes=M3_K, **M3
         )
         s = 1.0 / rep["steps_per_sec"]
+        extra = {
+            k: rep[k]
+            for k in ("probe", "reconciliation", "h2d")
+            if k in rep
+        }
         led.record(
             row,
             s,
@@ -604,6 +609,7 @@ def sec_train_e2e(led: Ledger):
             ),
             window_steps=rep["window_steps"],
             breakdown_pct=rep["breakdown_pct"],
+            **extra,
         )
 
 
@@ -636,6 +642,9 @@ def sec_train_e2e_sparse(led: Ledger):
         num_classes=rep.get("num_classes", 0),
     )
     s = 1.0 / rep["steps_per_sec"]
+    extra = {
+        k: rep[k] for k in ("probe", "reconciliation", "h2d") if k in rep
+    }
     led.record(
         "train_e2e/sparse/trainer",
         s,
@@ -646,6 +655,7 @@ def sec_train_e2e_sparse(led: Ledger):
         samples_per_sec=round(rep["batch_size"] * rep["steps_per_sec"], 1),
         window_steps=rep["window_steps"],
         breakdown_pct=rep["breakdown_pct"],
+        **extra,
     )
 
 
