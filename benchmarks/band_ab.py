@@ -24,7 +24,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
     p.add_argument(
-        "--shape", default="m3", choices=["m3", "s32", "g8", "sber"]
+        "--shape", default="m3",
+        choices=["m3", "m3b64", "s32", "g8", "sber"]
     )
     p.add_argument(
         "--only",
@@ -52,6 +53,11 @@ def main():
     item = jnp.dtype(dtype).itemsize
     if args.shape == "m3":
         b, s, h, w, inner, heads = 8, 6, 16, 16, 128, 1
+    elif args.shape == "m3b64":
+        # the production-batch 16x16 train step (train_step/m3_b64):
+        # per-sample attention here is ~1.3x slower than at b8 — this
+        # shape checks whether qt preference shifts with grid length
+        b, s, h, w, inner, heads = 64, 6, 16, 16, 128, 1
     elif args.shape == "g8":
         # the as-trained model-#3 configuration: batch 64, 8x8 token grid
         b, s, h, w, inner, heads = 64, 6, 8, 8, 128, 1

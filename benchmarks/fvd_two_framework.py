@@ -70,12 +70,35 @@ def _import_ref(subdir: str, module: str):
             sys.modules.pop(n, None)
 
 
+def _chunk_cache(cache_dir, name, chunk):
+    return (
+        os.path.join(cache_dir, f"{name}_{chunk:03d}.npz")
+        if cache_dir else None
+    )
+
+
+def _load_chunk(path):
+    if path and os.path.exists(path):
+        return np.load(path)["clips"]
+    return None
+
+
+def _save_chunk(path, clips):
+    if path:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        np.savez_compressed(path, clips=clips)
+
+
 def reference_rollouts(
     *, torch, ref_main, ref_model, ref_tok, dataset, n_clips, batch_size,
-    num_frames, n_past, image_width, seed,
+    num_frames, n_past, image_width, seed, cache_dir=None,
 ):
     """Run the reference's evaluate_model for n_clips, stacking its
-    generated frames into (N, num_frames, H, W, 1) float arrays."""
+    generated frames into (N, num_frames, H, W, 1) float arrays.
+
+    Each batch-size chunk is cached to `cache_dir` so an interrupted run
+    (the relay kills long processes) resumes instead of restarting.
+    """
     import random
 
     clips = []
@@ -83,27 +106,35 @@ def reference_rollouts(
     chunk = 0
     while done < n_clips:
         b = min(batch_size, n_clips - done)
-        # evaluate_model draws its context via the global `random` module
-        # and samples with torch's global generator — seed both per chunk
-        random.seed(seed + chunk)
-        torch.manual_seed(seed + chunk)
-        _, frames = ref_main.evaluate_model(
-            device="cpu",
-            model=ref_model,
-            decoder_model=ref_tok,
-            num_embeddings=ref_tok.vq.num_embeddings,
-            mask_token_index=ref_tok.vq.num_embeddings,
-            batch_size=b,
-            num_steps=num_frames,
-            n_past=n_past,
-            image_width=image_width,
-            dataset=dataset,
-        )
-        # frames[0] is the seed frame; frames[1:] are generated (B,1,H,W)
-        gen = torch.stack(frames[1:], dim=1)  # (B, T, 1, H, W)
-        clips.append(gen.permute(0, 1, 3, 4, 2).numpy())
+        cpath = _chunk_cache(cache_dir, "ref", chunk)
+        gen = _load_chunk(cpath)
+        if gen is None or gen.shape[0] != b:
+            # evaluate_model draws its context via the global `random`
+            # module and samples with torch's global generator — seed
+            # both per chunk so caching never changes the stream
+            random.seed(seed + chunk)
+            torch.manual_seed(seed + chunk)
+            _, frames = ref_main.evaluate_model(
+                device="cpu",
+                model=ref_model,
+                decoder_model=ref_tok,
+                num_embeddings=ref_tok.vq.num_embeddings,
+                mask_token_index=ref_tok.vq.num_embeddings,
+                batch_size=b,
+                num_steps=num_frames,
+                n_past=n_past,
+                image_width=image_width,
+                dataset=dataset,
+            )
+            # frames[0] is the seed frame; frames[1:] are generated
+            # (B,1,H,W) each
+            gen = torch.stack(frames[1:], dim=1)  # (B, T, 1, H, W)
+            gen = gen.permute(0, 1, 3, 4, 2).numpy()
+            _save_chunk(cpath, gen)
+        clips.append(gen)
         done += b
         chunk += 1
+        print(f"ref: {done}/{n_clips}", flush=True)
     return np.concatenate(clips, axis=0)[:n_clips]
 
 
@@ -121,6 +152,11 @@ def main(argv=None):
                    help="platform for OUR side (reference side is torch "
                    "CPU always); cpu keeps both frameworks on one device")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--cache_dir", default="",
+        help="directory for per-chunk rollout caches (resume support); "
+        "defaults to <out dir>/two_fw_cache",
+    )
     p.add_argument(
         "--out",
         default=os.path.join(
@@ -173,39 +209,55 @@ def main(argv=None):
         num_digits=cfg.num_digits, digit_size=cfg.digit_size,
         deterministic=False,
     )
-    rng = np.random.default_rng(args.seed + 7)
-    key = jax.random.PRNGKey(args.seed)
+    cache_dir = args.cache_dir or os.path.join(
+        os.path.dirname(os.path.abspath(args.out)), "two_fw_cache"
+    )
     model = None
     ours = []
     done = 0
+    chunk = 0
     while done < args.clips:
         b = min(args.batch_size, args.clips - done)
-        frames = jnp.asarray(ds.sample_batch(rng, b))
-        bb, s, hh, ww, c = frames.shape
-        tokens = tok.encode(tok_state, frames.reshape(bb * s, hh, ww, c))
-        tokens = tokens.reshape(bb, s, tokens.shape[1], tokens.shape[2])
-        if model is None:
-            model = make_model(
-                cfg, (s, tokens.shape[2], tokens.shape[3]),
-                tok.num_embeddings,
+        cpath = _chunk_cache(cache_dir, "ours", chunk)
+        clip = _load_chunk(cpath)
+        if clip is None or clip.shape[0] != b:
+            # per-chunk seeding keeps the stream identical whether or not
+            # earlier chunks were served from the cache
+            rng = np.random.default_rng(args.seed + 7 + 1000 * chunk)
+            frames = jnp.asarray(ds.sample_batch(rng, b))
+            bb, s, hh, ww, c = frames.shape
+            tokens = tok.encode(
+                tok_state, frames.reshape(bb * s, hh, ww, c)
             )
-        key, sub = jax.random.split(key)
-        gen = rollout_frames(
-            sub,
-            lambda z: model.apply({"params": params}, z),
-            tokens,
-            num_frames=args.num_frames,
-            num_classes=tok.num_embeddings,
-            mask_token=tok.num_embeddings,
-            num_iterations=args.iters,
-        )
-        t = gen.shape[1]
-        dec = tok.decode(tok_state, gen.reshape(bb * t, *gen.shape[2:]))
-        ours.append(
-            np.asarray(jax.device_get(dec)).reshape(bb, t, *dec.shape[1:])
-        )
+            tokens = tokens.reshape(
+                bb, s, tokens.shape[1], tokens.shape[2]
+            )
+            if model is None:
+                model = make_model(
+                    cfg, (s, tokens.shape[2], tokens.shape[3]),
+                    tok.num_embeddings,
+                )
+            gen = rollout_frames(
+                jax.random.PRNGKey(args.seed + chunk),
+                lambda z: model.apply({"params": params}, z),
+                tokens,
+                num_frames=args.num_frames,
+                num_classes=tok.num_embeddings,
+                mask_token=tok.num_embeddings,
+                num_iterations=args.iters,
+            )
+            t = gen.shape[1]
+            dec = tok.decode(
+                tok_state, gen.reshape(bb * t, *gen.shape[2:])
+            )
+            clip = np.asarray(jax.device_get(dec)).reshape(
+                bb, t, *dec.shape[1:]
+            )
+            _save_chunk(cpath, clip)
+        ours.append(clip)
         done += b
-        print(f"ours: {done}/{args.clips}")
+        chunk += 1
+        print(f"ours: {done}/{args.clips}", flush=True)
     ours = np.concatenate(ours, axis=0)[: args.clips]
 
     # ---- reference side: same weights, their classes + their sampler ---
@@ -248,11 +300,12 @@ def main(argv=None):
         ref_tok=ref_tok, dataset=ds, n_clips=args.clips,
         batch_size=args.batch_size, num_frames=args.num_frames,
         n_past=cfg.n_past, image_width=cfg.image_size,
-        seed=args.seed + 1000,
+        seed=args.seed + 1000, cache_dir=cache_dir,
     )
     print("reference rollouts:", ref_clips.shape)
 
     # ---- real clips + FVD scoring ---------------------------------------
+    rng = np.random.default_rng(args.seed + 999)
     real_a = np.stack(
         [ds[int(i)] for i in rng.integers(0, len(ds), args.clips)]
     )[:, : args.num_frames]
