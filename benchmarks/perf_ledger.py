@@ -813,6 +813,142 @@ def sec_train_b64_g8(led: Ledger):
     )
 
 
+def sec_train_b64_g8_full(led: Ledger):
+    """Compiled twin of the trainer's WHOLE dispatched program at the
+    as-trained 8x8 b64 config — device compositing (as_frames), frozen
+    f32-tokenizer encode, loss-aware corruption, denoiser train step,
+    EMA and the NaN guard (cli/video_diffusion.py step_body, lines
+    518-590) — so the train_e2e/m3/trainer row divides by a twin that
+    computes the SAME work, not just the denoiser step. A second row
+    re-times it with the tokenizer state cast to bf16 (the frozen-encoder
+    inference dtype question: the tokenize/* ledger rows already bench
+    bf16 states)."""
+    import optax
+
+    from world_modelz_tpu.data.device_composite import as_frames
+    from world_modelz_tpu.diffusion import corrupt_tokens
+    from world_modelz_tpu.models import VQAutoEncoder
+    from world_modelz_tpu.models.video import VqVideoDiffusionModel
+    from world_modelz_tpu.train import (
+        ema_update,
+        loss_aware_init,
+        loss_aware_sample,
+        loss_aware_update,
+    )
+    from world_modelz_tpu.train.guard import reject_nonfinite
+
+    b, s, img = 64, 6, 64
+    tok = VQAutoEncoder(in_channels=1, **TOK)
+    tok_state = tok.init(jax.random.PRNGKey(0), jnp.zeros((1, img, img, 1)))
+    grid = tok.token_grid_shape((img, img))  # (8, 8) at downscale 3
+    shape = (s, *grid)
+    K = TOK["num_embeddings"]
+
+    fwd = F.local3d_transformer_flops(b, shape, num_classes=K, **M3)
+    f_enc = b * s * F.vqae_encode_flops(
+        (img, img), 1, TOK["embedding_dim"], TOK["hidden_planes"],
+        TOK["downscale_steps"],
+    ) + F.vq_search_flops(
+        b * s * grid[0] * grid[1], K, TOK["embedding_dim"]
+    )
+    flops = F.train_step_flops(fwd, checkpointed=True) + f_enc
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    model = VqVideoDiffusionModel(
+        data_shape=shape, num_classes=K, backend=backend,
+        use_checkpointing=(backend == "xla"), **M3,
+    )
+    key = jax.random.PRNGKey(2)
+    params = model.init(key, jnp.zeros((1, *shape), jnp.int32))["params"]
+    ema_params = params
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+    sampler_state = loss_aware_init()
+    ks, kp = jax.random.split(jax.random.PRNGKey(3))
+    traj = {
+        "sprites": jax.random.randint(
+            ks, (b, 2, 24, 24), 0, 256, dtype=jnp.int32
+        ).astype(jnp.uint8),
+        "pos": jax.random.randint(kp, (b, 2, s, 2), 0, img - 24),
+    }
+
+    def make_step(t_state):
+        def full_step(carry):
+            params, ema_params, opt_state, sampler_state, key = carry
+            key, k_r, k_corrupt, k_drop = jax.random.split(key, 4)
+            frames = as_frames(traj, img)
+            bb, ss, hh, ww, c = frames.shape
+            tokens = tok.encode(t_state, frames.reshape(bb * ss, hh, ww, c))
+            tokens = tokens.reshape(bb, ss, *tokens.shape[1:])
+            target = tokens[:, -1]
+            r = loss_aware_sample(sampler_state, k_r, bb)
+            corrupted, _ = corrupt_tokens(
+                k_corrupt, target.reshape(bb, -1), r,
+                num_classes=K, mask_token=K, p_max_uniform=0.1,
+            )
+            batch_z = tokens.at[:, -1].set(corrupted.reshape(target.shape))
+
+            def loss_fn(p):
+                p = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.bfloat16)
+                    if x.dtype == jnp.float32
+                    else x,
+                    p,
+                )
+                logits = model.apply(
+                    {"params": p}, batch_z, train=True,
+                    rngs={"dropout": k_drop},
+                ).astype(jnp.float32)
+                ce = optax.softmax_cross_entropy_with_integer_labels(
+                    logits.reshape(-1, K), target.reshape(-1)
+                )
+                return ce.mean(), ce.reshape(bb, -1).mean(axis=1)
+
+            (loss, per_sample), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            gn = optax.global_norm(grads)
+            old = (params, ema_params, opt_state, sampler_state)
+            sampler_state = loss_aware_update(
+                sampler_state, r, jnp.nan_to_num(per_sample)
+            )
+            grads = jax.tree_util.tree_map(jnp.nan_to_num, grads)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            ema_params = ema_update(ema_params, params, 0.999)
+            ok = jnp.isfinite(loss) & jnp.isfinite(gn)
+            params, ema_params, opt_state, sampler_state = reject_nonfinite(
+                ok, old, (params, ema_params, opt_state, sampler_state)
+            )
+            return (params, ema_params, opt_state, sampler_state, key)
+
+        return full_step
+
+    carry = (params, ema_params, opt_state, sampler_state,
+             jax.random.PRNGKey(4))
+    for tag, t_state in (
+        ("f32tok", tok_state),
+        ("bf16tok", jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if isinstance(x, jnp.ndarray) and x.dtype == jnp.float32
+            else x,
+            tok_state,
+        )),
+    ):
+        sec = timed_chain(make_step(t_state), carry, iters=(2, 8))
+        led.record(
+            f"train_step/m3_b64_g8_full/{backend}+bf16+{tag}",
+            sec,
+            flops,
+            batch=b,
+            grid="8x8",
+            steps_per_sec=round(1 / sec, 2),
+            samples_per_sec=round(b / sec, 1),
+            includes="composite+encode+corrupt+train+ema+guard",
+            **{k: v for k, v in M3.items() if k != "extents"},
+        )
+
+
 def sec_serve(led: Ledger):
     """Serving path MFU: RolloutService end-to-end at model-#3 scale
     (as-trained 8x8 grid), honest wall-clock (results materialize to host
@@ -1055,6 +1191,7 @@ SECTIONS = {
     "train": sec_train,
     "train_b64": sec_train_b64,
     "train_b64_g8": sec_train_b64_g8,
+    "train_b64_g8_full": sec_train_b64_g8_full,
     "train_e2e": sec_train_e2e,
     "train_e2e_sparse": sec_train_e2e_sparse,
     "train_sparse": sec_train_sparse_step,

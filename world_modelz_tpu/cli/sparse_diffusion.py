@@ -498,12 +498,22 @@ def train(cfg: SparseDiffusionConfig):
             )
         return (params, ema_params, opt_state, sampler_state), (loss, gn, ok)
 
+    def _pack_stats(loss, gn, ok):
+        """One small device array per dispatch: (loss, grad_norm, ok).
+        The host logger reads it back with a SINGLE value fetch — three
+        separate float()/bool() reads cost three relay roundtrips per
+        log point (see cli/video_diffusion.py)."""
+        return jnp.stack(
+            [loss.astype(jnp.float32), gn.astype(jnp.float32),
+             ok.astype(jnp.float32)]
+        )
+
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_step(params, ema_params, opt_state, sampler_state, batch_z, key):
         carry, (loss, gn, ok) = step_body(
             batch_z, (params, ema_params, opt_state, sampler_state), key
         )
-        return (*carry, loss, gn, ok)
+        return (*carry, _pack_stats(loss, gn, ok))
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_kstep(params, ema_params, opt_state, sampler_state, batch_z,
@@ -516,7 +526,7 @@ def train(cfg: SparseDiffusionConfig):
             (params, ema_params, opt_state, sampler_state),
             keys,
         )
-        return (*carry, losses[-1], gns[-1], oks.all())
+        return (*carry, _pack_stats(losses[-1], gns[-1], oks.all()))
 
     def run_eval(params_eval, tag, step):
         logits_fn = lambda toks, idx: model.apply(
@@ -601,7 +611,7 @@ def train(cfg: SparseDiffusionConfig):
     # read the PREVIOUS point's (already-computed) values, keeping a
     # dispatch in flight through every log point. Timing windows open and
     # close only on explicit value fences (queue drains).
-    pending = deque()  # (step, ok, loss, grad_norm, host_steps_per_sec)
+    pending = deque()  # (step, packed (loss, gn, ok), host_steps_per_sec)
 
     # end-to-end timing (cfg.timing_report): host buckets, a fenced
     # steps/sec window, device probes and a wall-time reconciliation
@@ -619,11 +629,14 @@ def train(cfg: SparseDiffusionConfig):
         device_wait (they block on device compute when enqueue runs
         ahead); pure host logging to log."""
         nonlocal rejected
-        estep, ok_e, loss_e, gn_e, sps = entry
+        estep, stats_e, sps = entry
         tt = time.perf_counter()
         # the guard acts on-device every step; the host only samples the
-        # flag at log points to avoid a per-step readback sync
-        ok_v, loss_v, gn_v = bool(ok_e), float(loss_e), float(gn_e)
+        # flag at log points to avoid a per-step readback sync. ONE value
+        # fetch for the packed (loss, gn, ok) array: each separate
+        # float()/bool() read is a full relay roundtrip
+        vals = np.asarray(stats_e)
+        loss_v, gn_v, ok_v = float(vals[0]), float(vals[1]), bool(vals[2] > 0.5)
         tt2 = time.perf_counter()
         tm.add("device_wait", tt2 - tt)
         accepted = ok_v or not cfg.nan_guard
@@ -670,7 +683,7 @@ def train(cfg: SparseDiffusionConfig):
 
     try:
         step = start_step
-        ok = None  # guard flag of the most recent dispatch (device scalar)
+        stats = None  # packed (loss, gn, ok) of the most recent dispatch
         while step < cfg.max_steps:
             if batch_z is None or (
                 not cfg.single_batch
@@ -696,27 +709,27 @@ def train(cfg: SparseDiffusionConfig):
             probe = tm.probe_due(step + n) and tm.opened and n in seen_sizes
             if probe:
                 tp = time.perf_counter()
-                fence_value(ok)  # device idle behind the last dispatch
+                fence_value(stats)  # device idle behind the last dispatch
                 fence_value(batch_z)  # the encoded batch has materialized
                 td = time.perf_counter()
             else:
                 tt = time.perf_counter()
             if n == 1:
-                (params, ema_params, opt_state, sampler_state, loss, gn,
-                 ok) = train_step(
+                (params, ema_params, opt_state, sampler_state,
+                 stats) = train_step(
                     params, ema_params, opt_state, sampler_state, batch_z,
                     keys[1],
                 )
             else:
-                (params, ema_params, opt_state, sampler_state, loss, gn,
-                 ok) = train_kstep(
+                (params, ema_params, opt_state, sampler_state,
+                 stats) = train_kstep(
                     params, ema_params, opt_state, sampler_state, batch_z,
                     keys[1:],
                 )
             step += n
             seen_sizes.add(n)
             if probe:
-                fence_value(ok)
+                fence_value(stats)
                 now = time.perf_counter()
                 tm.record_probe(n, now - td)
                 tm.add("probe", now - tp)
@@ -727,7 +740,7 @@ def train(cfg: SparseDiffusionConfig):
                 dt = time.time() - t0
                 t0 = time.time()
                 pending.append(
-                    (step, ok, loss, gn, cfg.log_interval / max(dt, 1e-9))
+                    (step, stats, cfg.log_interval / max(dt, 1e-9))
                 )
                 deferred = cfg.log_fence == "deferred"
                 # window: from the 2nd log point (warmup/compile excluded)

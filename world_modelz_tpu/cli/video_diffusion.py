@@ -113,6 +113,12 @@ class VideoDiffusionConfig:
     num_digits: int = 2
     digit_size: int = 24
     decoder_model: str = ""  # tokenizer checkpoint path (required)
+    # run the FROZEN tokenizer (per-step encode in step_body, eval decode)
+    # in bfloat16: the encoder is pure inference on a frozen model, and
+    # the compiled full-step twin (train_step/m3_b64_g8_full) measures the
+    # f32 encode at ~2 ms/step of the b64 budget; the tokenize/* ledger
+    # rows bench bf16 states as the standard. f32 available for A/B.
+    tok_bf16: bool = True
 
     max_steps: int = 200_000
     warmup: int = 500
@@ -328,10 +334,14 @@ def evaluate_and_save(
     decoded = tok.decode(
         tok_state, gen_tokens.reshape(b * t, *gen_tokens.shape[2:])
     )
-    decoded = np.asarray(jax.device_get(decoded)).reshape(
-        b, t, *decoded.shape[1:]
+    # float32 on the host boundary: a bf16 tokenizer (--tok_bf16) returns
+    # bf16 pixels, which numpy image utils must not mix-promote
+    decoded = (
+        np.asarray(jax.device_get(decoded))
+        .astype(np.float32)
+        .reshape(b, t, *decoded.shape[1:])
     )
-    seed_frame = np.asarray(jax.device_get(frames[:, -1]))
+    seed_frame = np.asarray(jax.device_get(frames[:, -1])).astype(np.float32)
 
     # layout mirrors eval_model_and_save: one row per timestep, batch across
     all_frames = np.concatenate([seed_frame[:, None], decoded], axis=1)
@@ -396,6 +406,14 @@ def train(cfg: VideoDiffusionConfig):
             )
 
     tok, tok_state, tok_cfg = load_tokenizer(cfg.decoder_model)
+    if cfg.tok_bf16:
+        # frozen-tokenizer inference dtype (see VideoDiffusionConfig)
+        tok_state = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tok_state,
+        )
     num_embeddings = tok.num_embeddings
     mask_token = num_embeddings
 
@@ -589,12 +607,23 @@ def train(cfg: VideoDiffusionConfig):
             )
         return (params, ema_params, opt_state, sampler_state), (loss, gn, ok)
 
+    def _pack_stats(loss, gn, ok):
+        """One small device array per dispatch: (loss, grad_norm, ok).
+        The host logger reads it back with a SINGLE value fetch — three
+        separate float()/bool() reads cost three relay roundtrips each
+        log point, which dominated the wall-vs-compiled gap at short
+        (~23 ms) steps."""
+        return jnp.stack(
+            [loss.astype(jnp.float32), gn.astype(jnp.float32),
+             ok.astype(jnp.float32)]
+        )
+
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_step(params, ema_params, opt_state, sampler_state, frames, key):
         carry, (loss, gn, ok) = step_body(
             (params, ema_params, opt_state, sampler_state), (frames, key)
         )
-        return (*carry, loss, gn, ok)
+        return (*carry, _pack_stats(loss, gn, ok))
 
     @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_kstep(
@@ -616,7 +645,7 @@ def train(cfg: VideoDiffusionConfig):
             (params, ema_params, opt_state, sampler_state),
             (frames_k, keys),
         )
-        return (*carry, losses[-1], gns[-1], oks.all())
+        return (*carry, _pack_stats(losses[-1], gns[-1], oks.all()))
 
     # trajectory sources are uint8-native: ship the raw bytes host->device
     # (4x less relay traffic than float32) and let step_body normalize on
@@ -693,7 +722,7 @@ def train(cfg: VideoDiffusionConfig):
     # (measured 15.9% of wall at log_interval=10 on the relay). Timing
     # windows stay honest: they open and close on explicit value fences
     # (a drain of the queue), never on deferred reads.
-    pending = deque()  # (step, ok, loss, grad_norm, host_steps_per_sec)
+    pending = deque()  # (step, packed (loss, gn, ok), host_steps_per_sec)
 
     # end-to-end timing (cfg.timing_report): host buckets, a fenced
     # steps/sec window, device/h2d probes and a wall-time reconciliation
@@ -709,11 +738,14 @@ def train(cfg: VideoDiffusionConfig):
         the device_wait bucket (they block on device compute when enqueue
         runs ahead); pure host logging is charged to log."""
         nonlocal rejected
-        estep, ok_e, loss_e, gn_e, sps = entry
+        estep, stats_e, sps = entry
         tt = time.perf_counter()
         # the guard acts on-device every step; the host only samples the
-        # flag at log points to avoid a per-step readback sync
-        ok_v, loss_v, gn_v = bool(ok_e), float(loss_e), float(gn_e)
+        # flag at log points to avoid a per-step readback sync. ONE value
+        # fetch for the packed (loss, gn, ok) array: each separate
+        # float()/bool() read is a full relay roundtrip
+        vals = np.asarray(stats_e)
+        loss_v, gn_v, ok_v = float(vals[0]), float(vals[1]), bool(vals[2] > 0.5)
         tt2 = time.perf_counter()
         tm.add("device_wait", tt2 - tt)
         accepted = ok_v or not cfg.nan_guard
@@ -756,7 +788,7 @@ def train(cfg: VideoDiffusionConfig):
 
     try:
         step = start_step
-        ok = None  # guard flag of the most recent dispatch (device scalar)
+        stats = None  # packed (loss, gn, ok) of the most recent dispatch
         while step < cfg.max_steps:
             n = dispatch_len(step)
             tt = time.perf_counter()
@@ -770,7 +802,7 @@ def train(cfg: VideoDiffusionConfig):
             probe = tm.probe_due(step + n) and tm.opened and n in seen_sizes
             if probe:
                 tp = time.perf_counter()
-                fence_value(ok)  # device idle behind the last dispatch
+                fence_value(stats)  # device idle behind the last dispatch
                 # this dispatch's inputs have landed (last-shipped leaf)
                 leaves = jax.tree_util.tree_leaves(frame_list)
                 fence_value(leaves[-1] if leaves else None)
@@ -778,21 +810,21 @@ def train(cfg: VideoDiffusionConfig):
             else:
                 tt = time.perf_counter()
             if n == 1:
-                (params, ema_params, opt_state, sampler_state, loss, gn,
-                 ok) = train_step(
+                (params, ema_params, opt_state, sampler_state,
+                 stats) = train_step(
                     params, ema_params, opt_state, sampler_state,
                     frame_list[0], keys[1],
                 )
             else:
-                (params, ema_params, opt_state, sampler_state, loss, gn,
-                 ok) = train_kstep(
+                (params, ema_params, opt_state, sampler_state,
+                 stats) = train_kstep(
                     params, ema_params, opt_state, sampler_state,
                     tuple(frame_list), keys[1:],
                 )
             step += n
             seen_sizes.add(n)
             if probe:
-                fence_value(ok)
+                fence_value(stats)
                 now = time.perf_counter()
                 tm.record_probe(n, now - td)
                 tm.add("probe", now - tp)
@@ -802,7 +834,7 @@ def train(cfg: VideoDiffusionConfig):
                 dt = time.time() - t0
                 t0 = time.time()
                 pending.append(
-                    (step, ok, loss, gn, cfg.log_interval / max(dt, 1e-9))
+                    (step, stats, cfg.log_interval / max(dt, 1e-9))
                 )
                 deferred = cfg.log_fence == "deferred"
                 # window: from the 2nd log point (warmup/compile excluded)
