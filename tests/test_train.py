@@ -29,6 +29,21 @@ def test_warmup_cosine_shape():
     assert float(sched(1100)) < float(sched(600))
 
 
+def test_host_schedule_matches_and_stays_on_host():
+    """host_schedule returns plain floats matching the eager schedule.
+
+    Trainers read the log-point lr through it so a relayed-TPU default
+    backend never sees a per-log-point RPC (cli/video_diffusion.py)."""
+    from world_modelz_tpu.train import host_schedule
+
+    sched = warmup_cosine_schedule(1e-3, warmup_steps=100, total_steps=1000)
+    read = host_schedule(sched)
+    for step in (0, 50, 100, 600, 1100):
+        v = read(step)
+        assert isinstance(v, float)
+        np.testing.assert_allclose(v, float(sched(step)), rtol=1e-6)
+
+
 def test_step_decay():
     sched = step_decay_schedule(1e-3, steps_per_epoch=10, epoch_step_size=3)
     np.testing.assert_allclose(float(sched(0)), 1e-3)

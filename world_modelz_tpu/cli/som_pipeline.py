@@ -49,6 +49,7 @@ from world_modelz_tpu.train import (
     ema_init,
     ema_update,
     make_optimizer,
+    host_schedule,
     step_decay_schedule,
     warmup_cosine_schedule,
 )
@@ -205,6 +206,7 @@ def train_ae(cfg: TrainAeConfig):
     schedule = step_decay_schedule(
         cfg.lr, steps_per_epoch=cfg.lr_decay_interval, epoch_step_size=1
     )
+    lr_of = host_schedule(schedule)  # log-point lr reads: no device RPC
     opt = make_optimizer(cfg.optimizer, schedule)
     opt_state = opt.init(state.params)
 
@@ -264,7 +266,7 @@ def train_ae(cfg: TrainAeConfig):
                 restored = guard.record(accepted, step)
                 if restored is not None:
                     state, opt_state = restored
-                logger.log(step, loss=float(loss), lr=float(schedule(step)))
+                logger.log(step, loss=float(loss), lr=lr_of(step))
                 print(f"step {step}: loss {float(loss):.4f}")
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
                 path = _save_ae_ckpt(
@@ -455,6 +457,7 @@ def finetune_ae(cfg: FinetuneAeConfig):
     schedule = step_decay_schedule(
         cfg.lr, steps_per_epoch=cfg.lr_decay_interval, epoch_step_size=1
     )
+    lr_of = host_schedule(schedule)  # log-point lr reads: no device RPC
     opt = make_optimizer(cfg.optimizer, schedule)
     opt_state = opt.init(state.params)
     adapt_interval = cfg.som_adapt_skip + 1
@@ -525,7 +528,7 @@ def finetune_ae(cfg: FinetuneAeConfig):
                     state = restored
                 logger.log(
                     step, loss=float(loss), som_loss=float(som_loss),
-                    lr=float(schedule(step)),
+                    lr=lr_of(step),
                 )
                 print(
                     f"{step}: loss {float(loss):.4f} "
@@ -680,6 +683,7 @@ def train_diffusion(cfg: TrainDiffusionConfig):
 
     loss_fn = _recon_loss(cfg.loss_fn)
     schedule = warmup_cosine_schedule(cfg.lr, cfg.warmup, cfg.max_steps)
+    lr_of = host_schedule(schedule)  # log-point lr reads: no device RPC
     opt = make_optimizer(cfg.optimizer, schedule, cfg.weight_decay)
     if cfg.accumulation_steps > 1:
         opt = optax.MultiSteps(opt, cfg.accumulation_steps)
@@ -773,7 +777,7 @@ def train_diffusion(cfg: TrainDiffusionConfig):
                 if restored is not None:
                     params, ema_params, opt_state = restored
                 logger.log(step, loss=float(loss), grad_norm=float(gn),
-                           lr=float(schedule(step)))
+                           lr=lr_of(step))
                 print(f"{step}: loss {float(loss):.3e} gn {float(gn):.2e}")
             if cfg.checkpoint_interval and step % cfg.checkpoint_interval == 0:
                 path = save_checkpoint(

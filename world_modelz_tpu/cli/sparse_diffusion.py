@@ -53,6 +53,7 @@ from world_modelz_tpu.train import (
     loss_aware_sample,
     loss_aware_update,
     loss_aware_weights,
+    host_schedule,
     make_optimizer,
     uniform_sample,
     warmup_cosine_schedule,
@@ -307,6 +308,7 @@ def train(cfg: SparseDiffusionConfig):
     )
 
     schedule = warmup_cosine_schedule(cfg.lr, cfg.warmup, cfg.max_steps)
+    lr_of = host_schedule(schedule)  # log-point lr reads: no device RPC
     opt = make_optimizer(cfg.optimizer, schedule, cfg.weight_decay)
     opt_state = opt.init(params)
     ema_params = ema_init(params) if cfg.ema_decay > 0 else None
@@ -647,7 +649,7 @@ def train(cfg: SparseDiffusionConfig):
         m = {
             "loss": loss_v,
             "grad_norm": gn_v,
-            "lr": float(schedule(estep)),
+            "lr": lr_of(estep),
             "steps_per_sec": sps,
         }
         logger.log(estep, **m)

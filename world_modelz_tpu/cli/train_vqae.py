@@ -36,6 +36,7 @@ from world_modelz_tpu.ops import vq_reset_stats, vq_reuse_inactive
 from world_modelz_tpu.parallel import batch_sharding, make_mesh, replicated
 from world_modelz_tpu.train import (
     CheckpointGuard,
+    host_schedule,
     make_optimizer,
     step_decay_schedule,
 )
@@ -245,6 +246,7 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
     schedule = step_decay_schedule(
         cfg.lr, steps_per_epoch=cfg.lr_decay_interval, epoch_step_size=1
     )
+    lr_of = host_schedule(schedule)  # log-point lr reads: no device RPC
     opt = make_optimizer(cfg.optimizer, schedule, cfg.weight_decay)
     opt_state = opt.init(state.params)
 
@@ -372,7 +374,7 @@ def train(cfg: TrainVqaeConfig) -> Tuple[TokenizerState, dict]:
                 if restored is not None:
                     state, opt_state = restored
                 m = {k: float(v) for k, v in metrics.items()}
-                m["lr"] = float(schedule(step))
+                m["lr"] = lr_of(step)
                 m["steps_per_sec"] = cfg.log_interval / max(
                     time.time() - t0, 1e-9
                 )

@@ -62,6 +62,7 @@ from world_modelz_tpu.train import (
     loss_aware_sample,
     loss_aware_update,
     loss_aware_weights,
+    host_schedule,
     make_optimizer,
     warmup_cosine_schedule,
 )
@@ -454,6 +455,7 @@ def train(cfg: VideoDiffusionConfig):
     print(f"parameters: {n_params:,}")
 
     schedule = warmup_cosine_schedule(cfg.lr, cfg.warmup, cfg.max_steps)
+    lr_of = host_schedule(schedule)  # log-point lr reads: no device RPC
     opt = make_optimizer(cfg.optimizer, schedule, cfg.weight_decay)
     if cfg.accumulation_steps > 1:
         opt = optax.MultiSteps(opt, cfg.accumulation_steps)
@@ -756,7 +758,7 @@ def train(cfg: VideoDiffusionConfig):
         m = {
             "loss": loss_v,
             "grad_norm": gn_v,
-            "lr": float(schedule(estep)),
+            "lr": lr_of(estep),
             "steps_per_sec": sps,
         }
         logger.log(estep, **m)

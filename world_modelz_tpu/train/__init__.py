@@ -4,6 +4,7 @@ checkpointing."""
 from world_modelz_tpu.train.schedules import (
     warmup_cosine_schedule,
     step_decay_schedule,
+    host_schedule,
 )
 from world_modelz_tpu.train.ema import ema_init, ema_update
 from world_modelz_tpu.train.importance import (
@@ -26,6 +27,7 @@ from world_modelz_tpu.train.guard import (
 __all__ = [
     "warmup_cosine_schedule",
     "step_decay_schedule",
+    "host_schedule",
     "ema_init",
     "ema_update",
     "LossAwareSamplerState",

@@ -10,7 +10,30 @@ Parity with the reference's scheduler usage:
 
 from __future__ import annotations
 
+import jax
 import optax
+
+
+def host_schedule(schedule: optax.Schedule):
+    """Wrap a schedule so reading the current lr never touches the device.
+
+    Calling an optax schedule eagerly dispatches its jnp ops to the
+    default backend — on a relayed TPU that is a full RPC roundtrip per
+    call (measured ~166 ms per log point at log_interval=10, 37% of the
+    m3 trainer's wall clock). Jitting the schedule onto the host CPU
+    makes log-point lr reads microsecond-scale and device-free. The
+    optimizer's in-step schedule is unaffected (it is traced into the
+    jitted update); this is only for host-side logging.
+    """
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        jitted = jax.jit(schedule)
+
+    def read(step) -> float:
+        with jax.default_device(cpu):
+            return float(jitted(step))
+
+    return read
 
 
 def warmup_cosine_schedule(
