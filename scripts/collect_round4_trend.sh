@@ -25,14 +25,14 @@ for s in $STEPS; do
   [ -d "$ck" ] || { echo "skip missing $ck"; continue; }
   if [ ! -f "$ART/m3r4_${s}_fvd.json" ]; then
     timeout 2400 python -m world_modelz_tpu.cli.rollout \
-      --checkpoint "$ck" --use_ema --batch_size 8 --num_frames 8 \
-      --fvd --fvd_clips 64 --gt_metrics \
+      --checkpoint "$ck" --use_ema true --batch_size 8 --num_frames 8 \
+      --fvd true --fvd_clips 64 --gt_metrics true \
       --output_dir "$ART" --name "m3r4_${s}" || true
   fi
   if [ ! -f "$ART/m3r4tok_${s}_fvd.json" ]; then
     timeout 2400 python -m world_modelz_tpu.cli.rollout \
-      --checkpoint "$ck" --use_ema --batch_size 8 --num_frames 8 \
-      --fvd --fvd_clips 64 \
+      --checkpoint "$ck" --use_ema true --batch_size 8 --num_frames 8 \
+      --fvd true --fvd_clips 64 \
       --fvd_feature_net tokenizer --fvd_weights "$TOK" \
       --output_dir "$ART" --name "m3r4tok_${s}" || true
   fi
