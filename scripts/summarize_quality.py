@@ -49,12 +49,17 @@ def fmt_fvd(rec) -> str:
     return f"{s} (n={rec.get('clips', '?')})"
 
 
-def table(rows) -> str:
-    lines = [
+def table(rows, fvd2_label: str = "") -> str:
+    two = bool(fvd2_label)
+    head = (
         "| Checkpoint | mean PSNR | mean SSIM | horizon-1 PSNR | "
-        "tokenizer ceiling PSNR | FVD [95% CI] |",
-        "|---|---|---|---|---|---|",
-    ]
+        "tokenizer ceiling PSNR | FVD [95% CI] |"
+    )
+    sep = "|---|---|---|---|---|---|"
+    if two:
+        head += f" FVD ({fvd2_label}) [95% CI] |"
+        sep += "---|"
+    lines = [head, sep]
     for step, r in rows.items():
         gt = r.get("gt")
         if gt:
@@ -68,9 +73,10 @@ def table(rows) -> str:
             )
         else:
             g = "— | — | — | —"
-        lines.append(
-            f"| {step / 1000:g}k | {g} | {fmt_fvd(r.get('fvd'))} |"
-        )
+        row = f"| {step / 1000:g}k | {g} | {fmt_fvd(r.get('fvd'))} |"
+        if two:
+            row += f" {fmt_fvd(r.get('fvd2'))} |"
+        lines.append(row)
     return "\n".join(lines)
 
 
@@ -78,6 +84,17 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--dir", required=True)
     p.add_argument("--prefix", required=True)
+    p.add_argument(
+        "--prefix2",
+        default="",
+        help="second rollout series (e.g. the tokenizer-encoder FVD "
+        "extractor, VERDICT r3 #7) appended as an extra FVD column",
+    )
+    p.add_argument(
+        "--fvd2_label",
+        default="2nd extractor",
+        help="column label for the --prefix2 FVD series",
+    )
     p.add_argument("--out", default="")
     p.add_argument(
         "--title", default="Quality trend across training checkpoints"
@@ -89,7 +106,15 @@ def main(argv=None):
         raise SystemExit(
             f"no {a.prefix}_*_{{fvd,gt_metrics}}.json under {a.dir}"
         )
-    md = f"## {a.title}\n\n" + table(rows) + "\n"
+    if a.prefix2:
+        for step, r in load_series(a.dir, a.prefix2).items():
+            if "fvd" in r:
+                rows.setdefault(step, {})["fvd2"] = r["fvd"]
+    md = (
+        f"## {a.title}\n\n"
+        + table(rows, a.fvd2_label if a.prefix2 else "")
+        + "\n"
+    )
     print(md)
     if a.out:
         marker = ("<!-- quality:begin -->", "<!-- quality:end -->")
