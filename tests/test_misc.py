@@ -325,3 +325,42 @@ model:
     tok2 = TamingGumbelVQAdapter(str(cfg), str(tmp_path / "ck.pt"))
     for v in tok2._model.state_dict().values():
         assert float(v.abs().sum()) == 0.0
+
+
+def test_summarize_quality_two_extractor_table(tmp_path):
+    """`scripts/summarize_quality.py --prefix2` renders both extractors'
+    FVD for the same checkpoints side by side (VERDICT r3 #7: trend
+    tables with two discriminating extractors)."""
+    import importlib.util
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "summarize_quality",
+        os.path.join(root, "scripts", "summarize_quality.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    for step, (a, b) in {1000: (2.0, 5.0), 2000: (1.0, 3.0)}.items():
+        for prefix, fvd in (("m", a), ("mtok", b)):
+            rec = {"fvd": fvd, "fvd_ci95": [fvd - 0.1, fvd + 0.1],
+                   "clips": 64}
+            (tmp_path / f"{prefix}_{step}_fvd.json").write_text(
+                _json.dumps(rec)
+            )
+
+    out = tmp_path / "README.md"
+    mod.main([
+        "--dir", str(tmp_path), "--prefix", "m", "--prefix2", "mtok",
+        "--fvd2_label", "tokenizer", "--out", str(out),
+    ])
+    text = out.read_text()
+    assert "FVD (tokenizer) [95% CI] |" in text
+    # both steps present, each row carries both extractors' scores
+    assert "| 1k |" in text and "| 2k |" in text
+    row_2k = [ln for ln in text.splitlines() if ln.startswith("| 2k |")][0]
+    assert "1.000" in row_2k and "3.000" in row_2k
+    # header and rows keep a consistent column count
+    header = [ln for ln in text.splitlines() if "Checkpoint" in ln][0]
+    assert header.count("|") == row_2k.count("|")
