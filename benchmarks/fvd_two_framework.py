@@ -89,15 +89,43 @@ def _save_chunk(path, clips):
         np.savez_compressed(path, clips=clips)
 
 
+def _check_cache_meta(cache_dir, meta):
+    """Validate the resume cache against run parameters (sidecar file).
+
+    Caches are keyed by chunk index only, so a parameter change (different
+    checkpoint/iters/seed) would silently score stale rollouts. A meta.json
+    sidecar is written on first use and must match on resume; legacy caches
+    without a sidecar adopt the current parameters (write-if-missing).
+    """
+    if not cache_dir:
+        return
+    os.makedirs(cache_dir, exist_ok=True)
+    mpath = os.path.join(cache_dir, "meta.json")
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            prev = json.load(f)
+        if prev != meta:
+            raise SystemExit(
+                f"cache {cache_dir} was built with different parameters:\n"
+                f"  cached: {prev}\n  now:    {meta}\n"
+                "pass a fresh --cache_dir (or delete the stale cache)"
+            )
+    else:
+        with open(mpath, "w") as f:
+            json.dump(meta, f, indent=1)
+
+
 def reference_rollouts(
     *, torch, ref_main, ref_model, ref_tok, dataset, n_clips, batch_size,
-    num_frames, n_past, image_width, seed, cache_dir=None,
+    num_frames, n_past, image_width, seed, cache_dir=None, on_chunk=None,
 ):
     """Run the reference's evaluate_model for n_clips, stacking its
     generated frames into (N, num_frames, H, W, 1) float arrays.
 
     Each batch-size chunk is cached to `cache_dir` so an interrupted run
     (the relay kills long processes) resumes instead of restarting.
+    `on_chunk(clips_so_far)` fires after every chunk so the caller can
+    emit a partial score — an interrupted run still yields a number.
     """
     import random
 
@@ -135,6 +163,8 @@ def reference_rollouts(
         done += b
         chunk += 1
         print(f"ref: {done}/{n_clips}", flush=True)
+        if on_chunk is not None:
+            on_chunk(np.concatenate(clips, axis=0))
     return np.concatenate(clips, axis=0)[:n_clips]
 
 
@@ -152,6 +182,13 @@ def main(argv=None):
                    help="platform for OUR side (reference side is torch "
                    "CPU always); cpu keeps both frameworks on one device")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--tokenizer_extractor",
+        default=os.environ.get("WMZ_TOKENIZER_EXTRACTOR", ""),
+        help="tokenizer checkpoint for the second-opinion feature "
+        "extractor (utils/fvd.make_tokenizer_extractor); scores every "
+        "pair with BOTH extractors when set",
+    )
     p.add_argument(
         "--cache_dir", default="",
         help="directory for per-chunk rollout caches (resume support); "
@@ -212,6 +249,12 @@ def main(argv=None):
     cache_dir = args.cache_dir or os.path.join(
         os.path.dirname(os.path.abspath(args.out)), "two_fw_cache"
     )
+    _check_cache_meta(cache_dir, {
+        "checkpoint": os.path.abspath(args.checkpoint), "step": int(step),
+        "clips": args.clips, "batch_size": args.batch_size,
+        "num_frames": args.num_frames, "iters": args.iters,
+        "use_ema": bool(args.use_ema), "seed": args.seed,
+    })
     model = None
     ours = []
     done = 0
@@ -295,76 +338,113 @@ def main(argv=None):
     assert not miss and not unexp, (miss, unexp)
     ref_model.eval()
 
+    # ---- real clips + extractors (before the slow ref loop, so every
+    # ref chunk can emit a partial score) ---------------------------------
+    # Real clips come from a SECOND dataset whose seq_len covers the full
+    # scored window: `ds` has seq_len = n_past+1 (context length), which is
+    # shorter than num_frames by default, and comparing 8-frame generated
+    # clips against 6-frame real clips biased every *_vs_real row (the
+    # extractors' temporal pooling is length-dependent).
+    ds_real = MovingMNIST(
+        seq_len=max(args.num_frames, cfg.n_past + 1),
+        image_size=cfg.image_size, num_digits=cfg.num_digits,
+        digit_size=cfg.digit_size, deterministic=False,
+    )
+    rng = np.random.default_rng(args.seed + 999)
+    real_a = np.stack(
+        [ds_real[int(i)] for i in rng.integers(0, len(ds_real), args.clips)]
+    )[:, : args.num_frames]
+    real_b = np.stack(
+        [ds_real[int(i)] for i in rng.integers(0, len(ds_real), args.clips)]
+    )[:, : args.num_frames]
+    ours_t = ours[:, : args.num_frames]
+
+    extractors = {"tiny": F.make_extractor("tiny")}
+    if args.tokenizer_extractor:
+        extractors["tokenizer"] = F.make_extractor(
+            "tokenizer", weights=args.tokenizer_extractor
+        )
+    feats = {
+        ename: {
+            "real_a": ex(real_a), "real_b": ex(real_b),
+            "ours": ex(ours_t),
+        }
+        for ename, ex in extractors.items()
+    }
+
+    def score(ref_clips, partial=False):
+        ref_t = ref_clips[:, : args.num_frames]
+        scores = {}
+        for ename, ex in extractors.items():
+            fs = dict(feats[ename])
+            fs["ref"] = ex(ref_t)
+            # partial scores compare equal-sized sets: subsample the
+            # non-ref sides to the ref count (FVD is N-sensitive)
+            n = ref_t.shape[0]
+            rows = {}
+            for name, (a, b) in {
+                "noise_floor_real_vs_real": ("real_a", "real_b"),
+                "ours_vs_real": ("ours", "real_a"),
+                "ref_vs_real": ("ref", "real_a"),
+                "ours_vs_ref": ("ours", "ref"),
+            }.items():
+                point, lo, hi = F.fvd_bootstrap(fs[a][:n], fs[b][:n])
+                rows[name] = {"fvd": point, "ci95": [lo, hi]}
+            scores[ename] = rows
+        tiny = scores["tiny"]
+        ours_fvd = tiny["ours_vs_real"]["fvd"]
+        ref_fvd = tiny["ref_vs_real"]["fvd"]
+        rel = abs(ours_fvd - ref_fvd) / max(ref_fvd, 1e-9)
+        out = {
+            "about": (
+                "same trained weights sampled by BOTH frameworks (ours: "
+                "diffusion.rollout_frames; reference: its own "
+                "evaluate_model from vq-video-diffusion/main.py), scored "
+                "by each extractor vs held-out real clips (full "
+                "num_frames length) and vs each other"
+            ),
+            "checkpoint": args.checkpoint,
+            "step": step,
+            "clips": args.clips,
+            "ref_clips_scored": int(ref_t.shape[0]),
+            "partial": bool(partial),
+            "num_frames": args.num_frames,
+            "our_iters": args.iters,
+            "reference_iters": 30,
+            "extractors": sorted(extractors),
+            "scores": scores,
+            "parity": {
+                "ours_vs_real_fvd": ours_fvd,
+                "ref_vs_real_fvd": ref_fvd,
+                "rel_diff": rel,
+                "within_1pct": bool(rel <= 0.01),
+                "note": (
+                    "north-star criterion: the two frameworks' "
+                    "FVD-vs-real agree; ours_vs_ref near the "
+                    "real-vs-real noise floor corroborates "
+                    "distribution-level parity (tiny extractor; see "
+                    "scores.tokenizer for the second opinion)"
+                ),
+            },
+        }
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+        tag = f"partial {ref_t.shape[0]}/{args.clips}" if partial else "final"
+        print(f"[{tag}]", json.dumps(out["parity"], indent=1))
+        print("->", args.out)
+
+    # ---- reference side: their classes + their sampler ------------------
     ref_clips = reference_rollouts(
         torch=torch, ref_main=ref_main, ref_model=ref_model,
         ref_tok=ref_tok, dataset=ds, n_clips=args.clips,
         batch_size=args.batch_size, num_frames=args.num_frames,
         n_past=cfg.n_past, image_width=cfg.image_size,
         seed=args.seed + 1000, cache_dir=cache_dir,
+        on_chunk=lambda c: score(c, partial=True),
     )
     print("reference rollouts:", ref_clips.shape)
-
-    # ---- real clips + FVD scoring ---------------------------------------
-    rng = np.random.default_rng(args.seed + 999)
-    real_a = np.stack(
-        [ds[int(i)] for i in rng.integers(0, len(ds), args.clips)]
-    )[:, : args.num_frames]
-    real_b = np.stack(
-        [ds[int(i)] for i in rng.integers(0, len(ds), args.clips)]
-    )[:, : args.num_frames]
-    ours_t = ours[:, : args.num_frames]
-    ref_t = ref_clips[:, : args.num_frames]
-
-    extract = F.make_extractor("tiny")
-    feats = {
-        "real_a": extract(real_a), "real_b": extract(real_b),
-        "ours": extract(ours_t), "ref": extract(ref_t),
-    }
-
-    rows = {}
-    for name, (a, b) in {
-        "noise_floor_real_vs_real": ("real_a", "real_b"),
-        "ours_vs_real": ("ours", "real_a"),
-        "ref_vs_real": ("ref", "real_a"),
-        "ours_vs_ref": ("ours", "ref"),
-    }.items():
-        point, lo, hi = F.fvd_bootstrap(feats[a], feats[b])
-        rows[name] = {"fvd": point, "ci95": [lo, hi]}
-
-    ours_fvd = rows["ours_vs_real"]["fvd"]
-    ref_fvd = rows["ref_vs_real"]["fvd"]
-    rel = abs(ours_fvd - ref_fvd) / max(ref_fvd, 1e-9)
-    out = {
-        "about": (
-            "same trained weights sampled by BOTH frameworks (ours: "
-            "diffusion.rollout_frames; reference: its own evaluate_model "
-            "from vq-video-diffusion/main.py), scored with the calibrated "
-            "tiny extractor vs held-out real clips and vs each other"
-        ),
-        "checkpoint": args.checkpoint,
-        "step": step,
-        "clips": args.clips,
-        "num_frames": args.num_frames,
-        "our_iters": args.iters,
-        "reference_iters": 30,
-        "scores": rows,
-        "parity": {
-            "ours_vs_real_fvd": ours_fvd,
-            "ref_vs_real_fvd": ref_fvd,
-            "rel_diff": rel,
-            "within_1pct": bool(rel <= 0.01),
-            "note": (
-                "north-star criterion: the two frameworks' FVD-vs-real "
-                "agree; ours_vs_ref near the real-vs-real noise floor "
-                "corroborates distribution-level parity"
-            ),
-        },
-    }
-    os.makedirs(os.path.dirname(args.out), exist_ok=True)
-    with open(args.out, "w") as f:
-        json.dump(out, f, indent=1)
-    print(json.dumps(out["parity"], indent=1))
-    print("->", args.out)
+    score(ref_clips, partial=False)
 
 
 if __name__ == "__main__":

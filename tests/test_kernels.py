@@ -827,3 +827,48 @@ def test_local3d_split_bwd_bf16(rng):
         np.testing.assert_allclose(
             np.asarray(a, np.float32), np.asarray(b_), rtol=0.1, atol=0.25
         )
+
+
+def test_allframes_outlier_masked_key_no_nan(rng):
+    """Underflow-safety regression (advisor round 4): the fused exp*mask
+    softmax must take its max over VALID keys only. With qt covering the
+    whole height, rows outside a query's +/-eh window are loaded-but-masked;
+    if such a key's raw score exceeds every valid score by >~88 (f32 exp
+    range), a raw-score max underflows all valid probabilities to 0 and the
+    normalizer becomes 0 -> 0/0 NaN. Forward AND backward."""
+    from world_modelz_tpu.kernels.local3d import (
+        _bwd_impl_allframes,
+        _fwd_impl_allframes,
+    )
+
+    extents, heads = (1, 1, 1), 1
+    b, s, h, w, inner = 1, 3, 4, 4, 16
+    q = rng.normal(size=(b, s, h, w, inner)).astype(np.float32)
+    k = rng.normal(size=(b, s, h, w, inner)).astype(np.float32)
+    v = rng.normal(size=(b, s, h, w, inner)).astype(np.float32)
+    # queries at row 0 of frame 0 attend only to rows 0..1; row h-1 is
+    # inside the loaded band (qt=h) but masked. Give it a score ~400 above
+    # the valid max for those queries.
+    q[0, 0, 0] = 10.0
+    k[0, 0, h - 1] = 10.0
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+    ref = local3d_attention(q, k, v, extents, heads)
+    out = _fwd_impl_allframes(q, k, v, extents, heads, True, qt=h)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(local3d_attention(q, k, v, extents, heads) ** 2)
+
+    g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    grads = _bwd_impl_allframes(
+        q, k, v, 2.0 * ref, extents, heads, True, qt=h
+    )
+    for a, b_ in zip(grads, g_ref):
+        assert np.isfinite(np.asarray(a)).all()
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-4
+        )

@@ -500,14 +500,18 @@ def _attn_kernel_allframes(
                     * scale
                 )
                 # fewer full-matrix VPU passes than the classic
-                # where/max/exp/div chain: max over the RAW scores (an
-                # upper bound of the masked max — exp stays <= 1), one
-                # fused exp*mask pass, and the normalization moved to the
+                # where/max/exp/div chain: ONE fused FMA folds the mask
+                # into the scores (masked keys pushed to -1e9, so the max
+                # is over VALID entries and exp(masked - m) is exactly 0 —
+                # a raw-score max could underflow every valid probability
+                # when a garbage out-of-extent key dominates by >88, giving
+                # 0/0 NaN), then exp, with the normalization moved to the
                 # small (M, dh) output of the PV dot. The executed score
                 # matrix is the kernel's VPU bottleneck at small dh, so
                 # each saved pass is worth ~10% of the op.
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                p = jnp.exp(scores - m) * ok.astype(jnp.float32)
+                adj = scores - (1.0 - ok.astype(jnp.float32)) * 1e9
+                m = jnp.max(adj, axis=-1, keepdims=True)
+                p = jnp.exp(adj - m)
                 l = jnp.sum(p, axis=-1, keepdims=True)
                 return (
                     jnp.dot(
@@ -674,9 +678,11 @@ def _bwd_kernel_allframes(
                     jnp.dot(q, kk.T, preferred_element_type=jnp.float32)
                     * scale
                 )
-                # raw-max + fused exp*mask (see the forward kernel's note)
-                m = jnp.max(scores, axis=-1, keepdims=True)
-                p = jnp.exp(scores - m) * ok.astype(jnp.float32)
+                # fused mask-FMA + valid-max (see the forward kernel's
+                # underflow-safety note)
+                adj = scores - (1.0 - ok.astype(jnp.float32)) * 1e9
+                m = jnp.max(adj, axis=-1, keepdims=True)
+                p = jnp.exp(adj - m)
                 attn = p / jnp.sum(p, axis=-1, keepdims=True)
 
                 dp = jnp.dot(g, vv.T, preferred_element_type=jnp.float32)
