@@ -202,26 +202,37 @@ def test_tokenizer_extractor_discriminates(tmp_path):
     ))
     ex = F.make_extractor("tokenizer", weights=info["checkpoint"])
 
-    ds = MovingMNIST(seq_len=4, image_size=32, digit_size=12,
+    # longer clips + more of them: at seq_len 4 / N=16 the FVD estimator
+    # noise dwarfs any temporal signal (round-4 flake); and the corruption
+    # must be a true derangement — the previous cyclic roll preserves all
+    # but one adjacent pair, which motion/acceleration features correctly
+    # see as nearly-real dynamics.
+    T, N = 8, 32
+    ds = MovingMNIST(seq_len=T, image_size=32, digit_size=12,
                      deterministic=False)
     rng = np.random.default_rng(0)
-    real = ds.sample_batch(rng, 16)
-    held = ds.sample_batch(rng, 16)
+    real = ds.sample_batch(rng, N)
+    held = ds.sample_batch(rng, N)
     # temporal shuffle destroys dynamics but keeps per-frame appearance —
-    # what the motion-energy term catches (per-clip derangement)
-    shuf = np.stack([c[np.roll(np.arange(4), 1 + i % 3)]
-                     for i, c in enumerate(held)])
+    # what the motion/acceleration terms catch (per-clip permutation with
+    # every adjacent pair >= 2 frames apart)
+    perm = np.concatenate([np.arange(0, T, 2), np.arange(1, T, 2)])
+    shuf = np.stack([c[np.roll(perm, i % T)] for i, c in enumerate(held)])
     # appearance corruption: heavy pixel dropout
     drop = held * (rng.random(held.shape) > 0.5)
 
     rf = F.extract_features(ex, real, 8)
-    assert rf.shape == (16, 3 * 8)
+    assert rf.shape == (N, 4 * 8)
     floor, _, floor_hi = F.fvd_bootstrap(
         rf, F.extract_features(ex, held, 8), n_boot=40
     )
-    shuffled = F.fvd_from_features(rf, F.extract_features(ex, shuf, 8))
+    shuffled, shuf_lo, _ = F.fvd_bootstrap(
+        rf, F.extract_features(ex, shuf, 8), n_boot=40
+    )
     dropped, drop_lo, _ = F.fvd_bootstrap(
         rf, F.extract_features(ex, drop, 8), n_boot=40
     )
-    assert shuffled > floor  # temporal dynamics register at all
+    # temporal dynamics register with statistical margin, not just a
+    # point-vs-point coin flip
+    assert shuffled > floor_hi, (shuffled, floor, floor_hi)
     assert drop_lo > floor_hi  # appearance break resolvable above floor

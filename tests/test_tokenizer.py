@@ -188,3 +188,37 @@ def test_upscale_residual_fused_matches_unfused():
     np.testing.assert_allclose(
         np.asarray(y_f), np.asarray(y_p), rtol=1e-4, atol=1e-5
     )
+
+
+def test_inference_cast_keeps_vq_f32_and_token_agreement():
+    """tokenizer_inference_cast (the --tok_bf16 train-path cast) casts only
+    the conv stacks to bf16; the VQ codebook stays f32 so nearest-codebook
+    assignment matches the f32 rollout/eval path (advisor round 4: a
+    whole-state bf16 cast silently flipped borderline VQ assignments
+    between train targets and inference tokenization)."""
+    from world_modelz_tpu.models.tokenizer import tokenizer_inference_cast
+
+    tok = _make_tokenizer()
+    key = jax.random.PRNGKey(0)
+    x = jax.random.uniform(key, (4, 16, 16, 3))
+    state = tok.init(key, x)
+    # settle BN/VQ stats a little so assignments aren't degenerate
+    for i in range(3):
+        _, _, state = tok.forward(
+            state, jax.random.uniform(jax.random.PRNGKey(i), x.shape),
+            train=True,
+        )
+
+    cast = tokenizer_inference_cast(state)
+    assert cast.vq.codebook.dtype == jnp.float32
+    leaves = jax.tree_util.tree_leaves(cast.params)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves
+               if jnp.issubdtype(l.dtype, jnp.floating))
+
+    t32 = np.asarray(tok.encode(state, x))
+    t16 = np.asarray(tok.encode(cast, x))
+    agreement = float((t32 == t16).mean())
+    # measured on the round-4 trained tokenizer: 98.9% (residual flips
+    # come from the bf16 encoder's latent perturbation, not the VQ);
+    # random-init codebooks sit closer together, so allow a margin
+    assert agreement >= 0.97, agreement

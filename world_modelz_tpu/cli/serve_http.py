@@ -67,6 +67,34 @@ def build_service(cfg: ServeHTTPConfig):
     """Checkpoint or artifact -> ready RolloutService (CLI + tests)."""
     from world_modelz_tpu.serve import RolloutService
 
+    # resolve the preset BEFORE the AOT branch: an exported program's
+    # sampler iterations are frozen at export time, so --preset with
+    # --exported would be silently ignored (and an unknown preset should
+    # fail with the same friendly message cli/rollout gives)
+    if cfg.preset:
+        import dataclasses as _dc
+
+        from world_modelz_tpu.cli.rollout import SAMPLER_PRESETS
+
+        if cfg.preset not in SAMPLER_PRESETS:
+            raise SystemExit(
+                f"unknown --preset {cfg.preset!r}; "
+                f"choose from {sorted(SAMPLER_PRESETS)}"
+            )
+        if cfg.exported:
+            raise SystemExit(
+                "--preset cannot be applied to --exported: the AOT "
+                "program keeps the iterations it was exported with. "
+                "Re-export with the preset's settings, or serve from "
+                "--checkpoint."
+            )
+        p = SAMPLER_PRESETS[cfg.preset]
+        cfg = _dc.replace(
+            cfg, num_iterations=p["num_eval_iterations"], topk=p["topk"]
+        )
+        print(f"sampler preset {cfg.preset}: {cfg.num_iterations} "
+              f"iterations, topk {cfg.topk}")
+
     if cfg.exported:
         from world_modelz_tpu.aot import AOTPrograms
 
@@ -79,18 +107,6 @@ def build_service(cfg: ServeHTTPConfig):
             seed=cfg.manual_seed,
         )
         return svc, f"aot:{cfg.exported}"
-
-    if cfg.preset:
-        import dataclasses as _dc
-
-        from world_modelz_tpu.cli.rollout import SAMPLER_PRESETS
-
-        p = SAMPLER_PRESETS[cfg.preset]
-        cfg = _dc.replace(
-            cfg, num_iterations=p["num_eval_iterations"], topk=p["topk"]
-        )
-        print(f"sampler preset {cfg.preset}: {cfg.num_iterations} "
-              f"iterations, topk {cfg.topk}")
     state, step, config = restore_checkpoint(cfg.checkpoint)
     train_cfg = config_from_dict(VideoDiffusionConfig, config)
     params = (

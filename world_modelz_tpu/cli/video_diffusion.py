@@ -408,13 +408,12 @@ def train(cfg: VideoDiffusionConfig):
 
     tok, tok_state, tok_cfg = load_tokenizer(cfg.decoder_model)
     if cfg.tok_bf16:
-        # frozen-tokenizer inference dtype (see VideoDiffusionConfig)
-        tok_state = jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            tok_state,
-        )
+        # frozen-tokenizer inference dtype (see VideoDiffusionConfig);
+        # keeps the VQ codebook f32 so token assignments match the f32
+        # rollout/eval path exactly (models/tokenizer.py)
+        from world_modelz_tpu.models.tokenizer import tokenizer_inference_cast
+
+        tok_state = tokenizer_inference_cast(tok_state)
     num_embeddings = tok.num_embeddings
     mask_token = num_embeddings
 
