@@ -101,7 +101,8 @@ def executed_attn_flops(cfg: dict) -> tuple[int, str] | None:
         band_tag = f" qt={qt}" if qt < h else ""
         return fl, f"{tag}{band_tag}: ~{keys} keys/query masked-dense"
 
-    qt = K.pick_allframes_band(s, h, w, ext, dh, 4)  # f32 bench operands
+    esize = 2 if cfg.get("dtype") == "bf16" else 4  # benched operand size
+    qt = K.pick_allframes_band(s, h, w, ext, dh, esize)
     if qt is not None:
         return banded(qt, "all-frames", allframes=True)
     qt = K.pick_frame_band(s, h, w, ext, dh)
@@ -118,10 +119,15 @@ def executed_attn_flops(cfg: dict) -> tuple[int, str] | None:
 def min_bytes(name: str, cfg: dict) -> tuple[int, str] | None:
     """Minimal HBM traffic model (each operand once, benched dtype)."""
     if name.startswith("attn/"):
-        # q, k, v read + out written; f32 operands in sec_attn
+        # q, k, v read + out written, at the row's benched operand dtype
+        # (sec_attn records it; legacy rows without a dtype benched f32)
         h, w = _hw(cfg)
         n = cfg["b"] * cfg["s"] * h * w * cfg["inner"]
-        return 4 * n * 4, "q+k+v in, out; f32 (sec_attn operands)"
+        esize = 2 if cfg.get("dtype") == "bf16" else 4
+        return (
+            4 * n * esize,
+            f"q+k+v in, out; {cfg.get('dtype', 'f32')} (sec_attn operands)",
+        )
     if name.startswith("attn_block/"):
         # x in + out in bf16, q/k/v round-trip HBM when the projections
         # are separate XLA ops (xla & pallas backends); fused keeps them

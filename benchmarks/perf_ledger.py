@@ -283,13 +283,16 @@ def sec_attn(led: Ledger):
 
     on_tpu = jax.default_backend() == "tpu"
 
-    def one(tag, b, s, h, w, inner, extents, heads):
+    def one(tag, b, s, h, w, inner, extents, heads, dtype=jnp.float32):
         key = jax.random.PRNGKey(0)
-        q = jax.random.normal(key, (b, s, h, w, inner))
-        k = jax.random.normal(key, (b, s, h, w, inner))
-        v = jax.random.normal(key, (b, s, h, w, inner))
+        q = jax.random.normal(key, (b, s, h, w, inner), dtype)
+        k = jax.random.normal(key, (b, s, h, w, inner), dtype)
+        v = jax.random.normal(key, (b, s, h, w, inner), dtype)
         fl = F.local3d_attention_flops(b * s * h * w, extents, inner)
-        cfg = dict(b=b, s=s, hw=f"{h}x{w}", inner=inner, extents=extents)
+        cfg = dict(
+            b=b, s=s, hw=f"{h}x{w}", inner=inner, extents=extents,
+            dtype="bf16" if dtype == jnp.bfloat16 else "f32",
+        )
         # sub-ms measurements need long chains or differencing noise wins
         it = ITERS if QUICK else (20, 100)
 
@@ -318,7 +321,12 @@ def sec_attn(led: Ledger):
         one("m3", 1, 3, 8, 8, 32, (1, 1, 1), 1)
         return
     one("m3", 8, 6, 16, 16, 128, (3, 1, 1), 1)  # model #3 scale
+    # production train-path dtype (VERDICT r4 #6: the roofline verdict
+    # must be drawn at bf16 operand traffic, not the f32 bench's)
+    one("m3_bf16", 8, 6, 16, 16, 128, (3, 1, 1), 1, dtype=jnp.bfloat16)
     one("sparse32", 2, 32, 16, 16, 128, (3, 1, 1), 1)  # minecraft volume
+    one("sparse32_bf16", 2, 32, 16, 16, 128, (3, 1, 1), 1,
+        dtype=jnp.bfloat16)
     one("sber", 2, 16, 32, 32, 128, (3, 1, 1), 1)  # Sber 32x32 (H-tiled)
 
 

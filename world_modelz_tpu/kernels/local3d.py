@@ -40,6 +40,10 @@ NEG_INF = -1e9
 
 # leave headroom under the ~16 MiB/core VMEM for double buffering
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# all-frames kernels statically unroll seq*ceil(H/qt) tiles; Mosaic stack
+# reuse across the unroll is imperfect (see pick_allframes_band) — measured
+# safe at <=24 tiles (m3), compile-time scoped-VMEM OOM at 128 (s=32 bf16)
+_MAX_ALLFRAMES_TILES = 32
 
 
 def _part_dtype(q):
@@ -377,11 +381,25 @@ def pick_allframes_band(
     with static offset skipping). Preference order per
     `_band_candidates` — the forward admits narrower bands (M >= 64)
     than the backward (M >= 128), per the band_ab measurements. Returns
-    the winning qt (== height means unbanded)."""
+    the winning qt (== height means unbanded).
+
+    The kernels statically unroll seq * ceil(H/qt) tiles; Mosaic's stack
+    allocator does not fully reuse per-tile temporaries across the
+    unroll, so the true scoped-VMEM footprint grows with tile count in a
+    way the analytic fits model cannot see. Measured on v5e: the m3
+    shape (s=6, <=24 tiles) compiles at a modeled ~9.5 MB, while
+    s=32/qt=4 (128 tiles, modeled 9.5 MB) demands 29.7 MB of scoped
+    VMEM and OOMs at compile time. `_MAX_ALLFRAMES_TILES` caps the
+    unroll at the measured-safe range; larger volumes route to the
+    per-frame / H-tiled kernels, whose grids iterate instead of
+    unrolling."""
     fits = fits_vmem_allframes_bwd if bwd else fits_vmem_allframes
     for qt in _band_candidates(
         height, width, extents[1], min_m=128 if bwd else 64
     ):
+        tiles = seq * -(-height // qt)
+        if tiles > _MAX_ALLFRAMES_TILES:
+            continue
         if fits(seq, height, width, extents, dh, itemsize, qt):
             return qt
     return None
