@@ -294,7 +294,9 @@ def sec_attn(led: Ledger):
             dtype="bf16" if dtype == jnp.bfloat16 else "f32",
         )
         # sub-ms measurements need long chains or differencing noise wins
-        it = ITERS if QUICK else (20, 100)
+        # (measured: (20,100) chains spread 0.02-0.18 ms for the SAME
+        # kernel across runs on the relay; CLAUDE.md floor is 40/240)
+        it = ITERS if QUICK else (40, 240)
 
         led.record(
             f"attn/{tag}/xla",
@@ -1188,6 +1190,112 @@ def sec_dense_attn(led: Ledger):
             )
 
 
+def _cost_flops(fn, *args) -> int:
+    """Analytic-free flop count: XLA's own cost analysis of the program
+    lowered for CPU (flop counts are backend-independent; the CPU compile
+    avoids a remote relay compile just to read metadata)."""
+    try:
+        lowered = jax.jit(fn, backend="cpu").lower(*args)
+        cost = lowered.compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return int(cost.get("flops", 0))
+    except Exception as e:  # pragma: no cover - metadata-only fallback
+        print("cost_analysis unavailable:", e)
+        return 0
+
+
+def sec_train_som_step(led: Ledger):
+    """Compiled SOM-DDPM (UNet over 2ch SOM latents) train step at the
+    round-4 pipeline configuration — gives the SOM family a steps/sec +
+    MFU regression row (VERDICT r4 #7). Reference:
+    som-diffusion/train_diffusion.py."""
+    import optax
+
+    from world_modelz_tpu.diffusion.ddpm import ddpm_corrupt
+    from world_modelz_tpu.models.unet import UNetDiffusionModel
+
+    b, latent = 128, (16, 16, 2)
+    model = UNetDiffusionModel(
+        in_channels=2, out_channels=2, model_channels=128,
+        num_res_blocks=3, channel_mult=(1, 2, 3), dropout=0.0,
+    )
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, *latent))
+    params = model.init(key, x[:1], jnp.zeros((1, 1)))["params"]
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def train_step(carry):
+        params, opt_state, x = carry
+        k = jax.random.PRNGKey(1)
+        t = jax.random.uniform(k, (b, 1))
+        xt, eps = ddpm_corrupt(k, x, t)
+
+        def loss(p):
+            pred = model.apply({"params": p}, xt, t)
+            return jnp.mean((pred - eps) ** 2)
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_opt, x * 0.999 + l * 1e-6)
+
+    fl = _cost_flops(lambda c: train_step(c)[2], (params, opt_state, x))
+    s = timed_chain(train_step, (params, opt_state, x), iters=(3, 13))
+    led.record(
+        "train_step/som_ddpm/unet", s, fl, batch=b,
+        latent="16x16x2", model_channels=128,
+        steps_per_sec=round(1 / s, 2), samples_per_sec=round(b / s, 1),
+        flops_note="XLA cost_analysis of the compiled step",
+    )
+
+
+def sec_train_masked_step(led: Ledger):
+    """Compiled masked-denoise (gMLP) train step at the round-4 run's
+    configuration — steps/sec + MFU regression row (VERDICT r4 #7).
+    Reference: vq-video-diffusion/masked_denoise_prototype/main.py."""
+    import optax
+
+    from world_modelz_tpu.models.gmlp import GMLP
+
+    b, seq_len, num_tokens, d_patch = 32, 64, 512, 192
+    model = GMLP(
+        num_tokens_in=num_tokens + 1, num_tokens_out=num_tokens,
+        dim=512, depth=8, seq_len=seq_len, vq_embedding_dim=d_patch,
+    )
+    key = jax.random.PRNGKey(0)
+    tokens = jax.random.randint(key, (b, seq_len), 0, num_tokens + 1)
+    emb = jax.random.normal(key, (b, seq_len, d_patch))
+    target = jax.random.randint(key, (b, seq_len), 0, num_tokens)
+    params = model.init(key, tokens, emb)["params"]
+    opt = optax.adamw(1e-4)
+    opt_state = opt.init(params)
+
+    def train_step(carry):
+        params, opt_state, emb = carry
+
+        def loss(p):
+            logits = model.apply({"params": p}, tokens, emb)
+            return optax.softmax_cross_entropy_with_integer_labels(
+                logits.reshape(-1, num_tokens), target.reshape(-1)
+            ).mean()
+
+        l, grads = jax.value_and_grad(loss)(params)
+        updates, new_opt = opt.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return (new_params, new_opt, emb * 0.999 + l * 1e-6)
+
+    fl = _cost_flops(lambda c: train_step(c)[2], (params, opt_state, emb))
+    s = timed_chain(train_step, (params, opt_state, emb), iters=(3, 13))
+    led.record(
+        "train_step/masked_denoise/gmlp", s, fl, batch=b,
+        seq_len=seq_len, dim=512, depth=8,
+        steps_per_sec=round(1 / s, 2), samples_per_sec=round(b / s, 1),
+        flops_note="XLA cost_analysis of the compiled step",
+    )
+
+
 SECTIONS = {
     "tokenize": sec_tokenize,
     "tokenize512": sec_tokenize_b512,
@@ -1206,6 +1314,8 @@ SECTIONS = {
     "serve": sec_serve,
     "serve_suite": sec_serve_suite,
     "denoise": sec_denoise,
+    "train_som": sec_train_som_step,
+    "train_masked": sec_train_masked_step,
 }
 
 
