@@ -49,8 +49,8 @@ def build_step():
     shape, b = (6, 8, 8), 64
     backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     model = VqVideoDiffusionModel(
-        data_shape=shape, num_classes=M3_K, backend=backend,
-        use_checkpointing=(backend == "xla"), **M3,
+        data_shape=shape, num_classes=M3_K, extents=(3, 1, 1),
+        backend=backend, use_checkpointing=(backend == "xla"), **M3,
     )
     key = jax.random.PRNGKey(0)
     tokens = jax.random.randint(key, (b, *shape), 0, M3_K + 1)

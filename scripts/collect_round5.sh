@@ -111,7 +111,7 @@ if [ -n "$TOK16" ]; then
       --dataset moving_mnist --image_size 64 --n_past 5 \
       --device_composite true \
       --dim 384 --mlp_dim 512 --heads 1 --depth 20 --dim_head 128 \
-      --extents 3,1,1 --batch_size 64 --bf16 true \
+      --extents 3,1,1 --batch_size 64 --bf16 true --ema_decay 0.999 \
       --lr 1e-4 --warmup 500 --max_steps "$M316_STEPS" \
       --steps_per_dispatch 10 \
       --checkpoint_interval 2500 --eval_interval 0 \
