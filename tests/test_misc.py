@@ -364,3 +364,36 @@ def test_summarize_quality_two_extractor_table(tmp_path):
     # header and rows keep a consistent column count
     header = [ln for ln in text.splitlines() if "Checkpoint" in ln][0]
     assert header.count("|") == row_2k.count("|")
+
+
+def test_relay_latency_artifact_reconciles_with_ledger():
+    """The relay-probe artifact (VERDICT r4 #5) must tell one story with
+    the perf ledger: its differenced device ms/step is the same compiled
+    m3 train step as `train_step/m3_b64_g8`, so the two must agree within
+    measurement noise, and the fitted roundtrip must dominate the trivial
+    dispatch floor (the probe model t(k) = roundtrip + k*t_device only
+    makes sense if the intercept is at least the floor any dispatch pays)."""
+    import json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(root, "artifacts", "relay_latency.json")
+    if not os.path.exists(path):
+        pytest.skip("relay_latency.json not collected yet")
+    with open(path) as f:
+        probe = json.load(f)
+    with open(os.path.join(root, "artifacts", "perf_ledger.json")) as f:
+        ledger = json.load(f)
+    twin = [e for e in ledger["entries"]
+            if e["name"].startswith("train_step/m3_b64_g8/")][0]
+
+    dev_diff = probe["device_ms_per_step_differenced"]
+    dev_fit = probe["device_ms_per_step_fit"]
+    # two probe methodologies agree with each other and the ledger twin
+    assert abs(dev_diff - dev_fit) / dev_diff < 0.10
+    assert abs(dev_diff - twin["ms"]) / twin["ms"] < 0.15
+    # the roundtrip intercept is anchored by the trivial-dispatch floor
+    assert probe["relay_roundtrip_ms_fit"] >= 0.5 * probe["trivial_dispatch_ms"]
+    # single-dispatch times are monotone in chain length
+    singles = {int(k): v for k, v in probe["single_dispatch_ms"].items()}
+    ks = sorted(singles)
+    assert all(singles[a] < singles[b] for a, b in zip(ks, ks[1:]))
