@@ -440,6 +440,75 @@ def test_som_pipeline_stages(tmp_path):
     assert state.som.width == 8 and ae.embedding_dim == 8
 
 
+def test_som_masked_quality_scorers(tmp_path):
+    """The SOM-DDPM Fréchet scorer and the masked-denoise PSNR/SSIM scorer
+    (benchmarks/quality_som_masked.py, VERDICT r4 #7) run end-to-end on
+    tiny trained checkpoints and emit finite, sane numbers. Guards the
+    unattended round-collection stage that produces
+    artifacts/round5/som_masked_quality.json."""
+    from benchmarks.quality_som_masked import score_masked, score_som
+    from world_modelz_tpu.cli.masked_denoise import (
+        MaskedDenoiseConfig,
+        train as train_masked,
+    )
+    from world_modelz_tpu.cli.som_pipeline import (
+        CreateDatasetConfig,
+        FinetuneAeConfig,
+        TrainAeConfig,
+        TrainDiffusionConfig,
+        TrainSomConfig,
+        create_diffusion_dataset,
+        finetune_ae,
+        train_ae,
+        train_diffusion,
+        train_som,
+    )
+
+    _, ckpt1 = train_ae(TrainAeConfig(
+        batch_size=8, image_size=32, max_steps=4, downscale_steps=2,
+        embedding_dim=8, hidden_planes=16, checkpoint_interval=0,
+        log_interval=2, output_dir=str(tmp_path / "s1"), name="s1"))
+    _, ckpt2 = train_som(TrainSomConfig(
+        ae_checkpoint=ckpt1, batch_size=8, image_size=32,
+        som_width=8, som_height=8, sigma_begin=4.0, sigma_end=0.5,
+        max_steps=3, checkpoint_interval=3, log_interval=1,
+        adapt_batch_size=64, output_dir=str(tmp_path / "s2"), name="s2"))
+    _, ckpt3 = finetune_ae(FinetuneAeConfig(
+        som_checkpoint=ckpt2, batch_size=8, image_size=32,
+        max_steps=3, checkpoint_interval=3, log_interval=1,
+        som_adapt_batch=32, output_dir=str(tmp_path / "s3"), name="s3"))
+    data_fn = str(tmp_path / "latents.npz")
+    create_diffusion_dataset(CreateDatasetConfig(
+        checkpoint=ckpt3, batch_size=8, image_size=32,
+        max_examples=16, dataset_fn=data_fn))
+    # GroupNorm(32) in the UNet needs model_channels >= 32.
+    train_diffusion(TrainDiffusionConfig(
+        input_dataset=data_fn, decoder_model=ckpt3, batch_size=8,
+        model_channels=32, num_res_blocks=1, max_steps=3, warmup=1,
+        eval_interval=0, eval_timesteps=4, eval_batch_size=2,
+        checkpoint_interval=3, log_interval=1,
+        output_dir=str(tmp_path / "diff"), name="diff"))
+
+    som = score_som(str(tmp_path / "diff" / "step_0000003"), n=4, seed=0)
+    assert som["samples"] == 4
+    assert np.isfinite(som["frechet_gen_vs_train"]["fid"])
+    assert np.isfinite(som["noise_floor_train_vs_train"]["fid"])
+
+    train_masked(MaskedDenoiseConfig(
+        batch_size=4, image_size=32, level=3, d_model=32, depth=1,
+        codebook_size=16, vq_steps=5, max_steps=5, eval_interval=0,
+        eval_batch_size=2, num_eval_iterations=2, checkpoint_interval=5,
+        log_interval=5, output_dir=str(tmp_path / "md"), name="md"))
+    mk = score_masked(str(tmp_path / "md" / "step_0000005"), n=4, seed=0,
+                      iters=3)
+    assert np.isfinite(mk["vq_roundtrip_ceiling_psnr"])
+    for row in mk["reconstruction"].values():
+        assert np.isfinite(row["psnr_vs_original"])
+        assert np.isfinite(row["ssim_vs_original"])
+        # token prediction cannot beat emitting the exact tokens
+        assert row["psnr_vs_original"] <= mk["vq_roundtrip_ceiling_psnr"] + 0.5
+
+
 def test_rollout_cli(tokenizer_ckpt, tmp_path):
     from world_modelz_tpu.cli.rollout import RolloutConfig, run
     from world_modelz_tpu.cli.video_diffusion import (
