@@ -96,6 +96,11 @@ def _check_cache_meta(cache_dir, meta):
     checkpoint/iters/seed) would silently score stale rollouts. A meta.json
     sidecar is written on first use and must match on resume; legacy caches
     without a sidecar adopt the current parameters (write-if-missing).
+
+    The total `clips` count is excluded from the comparison: chunks are
+    seeded per chunk index, so the first N chunks of a longer run are
+    bit-identical to a shorter run's — a timed-out 32-clip run can be
+    rescored at 8/16 clips from the same cache (and vice versa).
     """
     if not cache_dir:
         return
@@ -104,7 +109,10 @@ def _check_cache_meta(cache_dir, meta):
     if os.path.exists(mpath):
         with open(mpath) as f:
             prev = json.load(f)
-        if prev != meta:
+        ignore = {"clips"}
+        prev_key = {k: v for k, v in prev.items() if k not in ignore}
+        meta_key = {k: v for k, v in meta.items() if k not in ignore}
+        if prev_key != meta_key:
             raise SystemExit(
                 f"cache {cache_dir} was built with different parameters:\n"
                 f"  cached: {prev}\n  now:    {meta}\n"

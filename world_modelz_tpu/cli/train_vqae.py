@@ -134,6 +134,11 @@ def build_batch_fn(cfg: TrainVqaeConfig, seed: int):
             f"{cfg.dataset!r} (random-access sources only)"
         )
     if cfg.dataset == "moving_mnist":
+        if cfg.in_channels != 1:
+            raise ValueError(
+                "--dataset moving_mnist produces 1-channel frames; pass "
+                f"--in_channels 1 (got {cfg.in_channels})"
+            )
         ds = MovingMNIST(
             seq_len=1, image_size=cfg.image_size, digit_size=24, num_digits=2
         )
@@ -145,6 +150,11 @@ def build_batch_fn(cfg: TrainVqaeConfig, seed: int):
         ds = FileListImageDataset(files, cfg.batch_size, seed=seed)
         return ds.next_batch, None
     if cfg.dataset == "synthetic":
+        if cfg.in_channels != 3:
+            raise ValueError(
+                "--dataset synthetic produces 3-channel (RGB) frames; pass "
+                f"--in_channels 3 (got {cfg.in_channels})"
+            )
         src = SyntheticTrajectorySource(
             num_trajectories=32, traj_frames=64, frame_size=cfg.image_size,
             seed=seed,
